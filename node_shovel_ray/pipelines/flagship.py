@@ -1,0 +1,112 @@
+"""The flagship parse → enrich → route → aggregate DAG.
+
+This is the Ray-Data-native equivalent of a full shovel pipeline YAML —
+input → decoder → pipeline → encoder → queue → output
+(reference wiring: src/core/processor.js:79-84) — over transcript tables:
+
+  read → [transcriptify] → parse → lookup-enrich → seq-number → route →
+    ├─ sink 'errors'  (Parquet)
+    ├─ sink 'tools'   (Parquet)
+    ├─ sink 'chat'    (Parquet)
+    ├─ sink 'audit'   (JSONL, broadcast: priority >= 2)
+    └─ sink_counts    (groupby aggregate keyed (sink_tag, role, tool, hour))
+
+Fan-out note (SURVEY.md §7.5): branching an unmaterialized Dataset
+recomputes upstream per branch, so when multiple sinks are written the
+routed dataset is materialized once — the analogue of shovel duplicating a
+message in-process for its pipeline output (src/outputs/pipeline.js:18-30).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from .. import schema as S
+from ..stages.aggregate import hour_floor, sink_counts
+from ..stages.enrich import lookup_enrich, seq_number, seq_number_salted
+from ..stages.parse import parse
+from ..stages.route import assign_sink_tag, branch, broadcast_branch
+from ..stages.transcriptify import transcriptify
+
+
+def build_conv_meta_from_events(events: "ray.data.Dataset") -> pa.Table:
+    """Derive the conv-level lookup from distinct user ids (small side).
+
+    Same formulas as sql_oracle.CONV_META_CTE — pure integer ops on user_id.
+    """
+    uids = np.asarray(sorted(events.unique("user_id")), dtype=np.int64)
+    channels = np.array(["api", "web", "cli"])
+    return pa.table(
+        {
+            "conv_id": pa.array([f"conv-{u:08d}" for u in uids], pa.string()),
+            "tenant": pa.array([f"tenant-{u % 10}" for u in uids], pa.string()),
+            "channel": pa.array(channels[uids % 3], pa.string()),
+            "priority": pa.array(uids % 4, pa.int32()),
+        },
+        schema=S.CONV_META,
+    )
+
+
+def _add_hour(batch: pa.Table) -> pa.Table:
+    return batch.append_column("hour", hour_floor(batch["ts"]))
+
+
+def enrich_route(
+    parsed: "ray.data.Dataset",
+    conv_meta: pa.Table,
+    skew_aware: bool = False,
+) -> "ray.data.Dataset":
+    """parsed → enriched+routed dataset (schema.ENRICHED + audit flag)."""
+    ds = lookup_enrich(parsed, conv_meta, key="conv_id")
+    seq = seq_number_salted if skew_aware else seq_number
+    ds = seq(ds, key="conv_id", order_col="turn_idx", out_col="seq_in_conv")
+    ds = ds.map_batches(_add_hour, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(assign_sink_tag, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def run(
+    transcripts: "ray.data.Dataset",
+    conv_meta: pa.Table,
+    out_dir: str | None = None,
+    skew_aware: bool = False,
+) -> dict:
+    """Execute the full DAG; optionally write the four sinks under out_dir.
+
+    Returns {"routed": Dataset, "counts": Dataset, "sinks": {tag: path|Dataset}}.
+    """
+    parsed = parse(transcripts)
+    routed = enrich_route(parsed, conv_meta, skew_aware=skew_aware)
+    if out_dir is not None:
+        # fan-out: materialize once so the 4 sink branches don't recompute
+        routed = routed.materialize()
+    sinks: dict[str, object] = {}
+    for tag in S.SINKS:
+        b = branch(routed, tag)
+        if out_dir is not None:
+            path = os.path.join(out_dir, f"sink={tag}")
+            b.write_parquet(path)
+            sinks[tag] = path
+        else:
+            sinks[tag] = b
+    audit = broadcast_branch(routed)
+    if out_dir is not None:
+        path = os.path.join(out_dir, f"sink={S.AUDIT_SINK}")
+        audit.drop_columns(["hour"]).write_json(path)
+        sinks[S.AUDIT_SINK] = path
+    else:
+        sinks[S.AUDIT_SINK] = audit
+    counts = sink_counts(routed)
+    return {"routed": routed, "counts": counts, "sinks": sinks}
+
+
+def from_events(events: "ray.data.Dataset", **kw) -> dict:
+    """events table → full DAG (transcriptify first)."""
+    t = transcriptify(events)
+    meta = build_conv_meta_from_events(events)
+    return run(t, meta, **kw)

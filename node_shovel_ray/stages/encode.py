@@ -1,0 +1,72 @@
+"""Format encoders: shovel's per-message encoder plugins as batch transforms.
+
+Reference contract: encoders read ``message.content`` and write
+``message.payload`` (src/core/message.js:76-79). Here "payload" is a string
+column materialized just before (or inside) a sink write.
+
+- json    (src/encoders/json.js:27-34)   → :func:`encode_json`
+- csv     (src/encoders/csv.js:32-52)    → :func:`encode_csv`
+- base64  (src/encoders/base64.js:10-14) → :func:`encode_base64`
+- format  (src/encoders/format.js:10-14, date tokens src/core/utils.js:45-67)
+          → :func:`encode_format` — fully vectorized template projection
+- noop    (src/encoders/noop.js:2-6)     → identity
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.template import render_template
+
+
+def encode_json(
+    batch: pa.Table, columns: list[str] | None = None, out: str = "payload",
+    pretty: bool = False,
+) -> pa.Table:
+    """Rows → JSON strings (one object per row, selected columns)."""
+    cols = columns or batch.column_names
+    sub = batch.select(cols).to_pylist()
+    indent = 2 if pretty else None
+    seps = None if pretty else (",", ":")
+    vals = [json.dumps(r, default=str, indent=indent, separators=seps) for r in sub]
+    return batch.append_column(out, pa.array(vals, pa.string()))
+
+
+def encode_csv(
+    batch: pa.Table, columns: list[str] | None = None, out: str = "payload",
+    delimiter: str = ",",
+) -> pa.Table:
+    """One record → one CSV line (src/encoders/csv.js:32-52)."""
+    import csv as _csv
+    import io
+
+    cols = columns or batch.column_names
+    buf = io.StringIO()
+    w = _csv.writer(buf, delimiter=delimiter, lineterminator="\n")
+    for row in zip(*(batch[c].to_pylist() for c in cols)):
+        w.writerow(row)
+    vals = buf.getvalue().splitlines()
+    return batch.append_column(out, pa.array(vals, pa.string()))
+
+
+def encode_base64(batch: pa.Table, column: str, out: str = "payload") -> pa.Table:
+    """string → base64 (src/encoders/base64.js:10-14), vectorized-ish."""
+    vals = [
+        None if s is None else base64.b64encode(s.encode("utf-8")).decode("ascii")
+        for s in batch[column].to_pylist()
+    ]
+    return batch.append_column(out, pa.array(vals, pa.string()))
+
+
+def encode_format(
+    batch: pa.Table, template: str, out: str = "payload", ts_col: str = "ts"
+) -> pa.Table:
+    """Template projection with field + date tokens — the `format` encoder
+    (src/encoders/format.js:10-14). Vectorized: pc.strftime for date tokens,
+    binary_join_element_wise for splicing. Example template:
+    ``"{conv_id}/{YYYY}-{MM}-{DD}/{HH}"`` (UTC, src/core/utils.js:45-67)."""
+    return batch.append_column(out, render_template(batch, template, ts_col=ts_col))

@@ -1,0 +1,138 @@
+"""Resumable partitioned execution with per-partition lineage + metrics.
+
+Reference durability model: every message is LevelDB-put on enqueue and
+deleted on final ack; a crashed worker replays the whole DB on startup
+(src/queues/batch.js:197-207, 84-95) — at-least-once, duplicate-prone.
+The rebuild is partition-grained and effectively exactly-once:
+
+- output layout: ``out/sink=<tag>/part-<pid>/`` written to a temp dir and
+  atomically renamed on success (same-filesystem ``os.rename``);
+- commit marker: ``out/_manifest/partition-<pid>.json`` written *last*,
+  recording lineage (input files, row counts per sink, wall time);
+- resume: a new run lists ``_manifest/`` and skips committed partitions —
+  re-running a partition is idempotent because every stage is a pure
+  function of its input files (no CUIDs, no wall-clock);
+- aggregates: each partition writes partial counts
+  (``_manifest/aggregates-partial/<pid>.parquet``); finals are re-reduced
+  from partials so a resumed run never double-counts.
+
+Partitioning assumption (documented per SURVEY.md §7.5): keyed stages
+(sequence numbering, dedup) require each key's rows to live in one
+partition — i.e. inputs are sharded by hash/range of the key, as this
+engine's own sinks write them.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import time
+from collections.abc import Callable
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data
+
+
+def partition_id(files: list[str]) -> str:
+    h = hashlib.sha256("\n".join(sorted(files)).encode()).hexdigest()[:16]
+    return h
+
+
+class ResumableRunner:
+    """Run ``process`` over input partitions, committing each atomically.
+
+    ``process(ds)`` → dict with ``"sinks": {tag: Dataset}`` and optionally
+    ``"counts": Dataset`` (partial aggregate rows for this partition).
+    """
+
+    def __init__(self, out_dir: str):
+        self.out_dir = out_dir
+        self.manifest_dir = os.path.join(out_dir, "_manifest")
+        self.partial_dir = os.path.join(self.manifest_dir, "aggregates-partial")
+        self.tmp_dir = os.path.join(out_dir, "_tmp")
+        for d in (self.manifest_dir, self.partial_dir, self.tmp_dir):
+            os.makedirs(d, exist_ok=True)
+
+    # -- manifest bookkeeping -------------------------------------------------
+
+    def _marker(self, pid: str) -> str:
+        return os.path.join(self.manifest_dir, f"partition-{pid}.json")
+
+    def committed(self) -> set[str]:
+        out = set()
+        for f in os.listdir(self.manifest_dir):
+            if f.startswith("partition-") and f.endswith(".json"):
+                out.add(f[len("partition-") : -len(".json")])
+        return out
+
+    # -- execution ------------------------------------------------------------
+
+    def _atomic_write_parquet(self, ds: "ray.data.Dataset", final: str, pid: str) -> int:
+        tmp = os.path.join(self.tmp_dir, f"{pid}-{os.path.basename(final)}")
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)  # an empty sink writes no files but must still commit
+        ds.write_parquet(tmp)
+        n = sum(pq.read_metadata(os.path.join(tmp, f)).num_rows
+                for f in os.listdir(tmp) if f.endswith(".parquet"))
+        shutil.rmtree(final, ignore_errors=True)
+        os.makedirs(os.path.dirname(final), exist_ok=True)
+        os.rename(tmp, final)
+        return n
+
+    def run_partition(self, files: list[str], process: Callable) -> dict:
+        pid = partition_id(files)
+        if os.path.exists(self._marker(pid)):
+            with open(self._marker(pid)) as fh:
+                info = json.load(fh)
+            info["skipped"] = True
+            return info
+
+        t0 = time.monotonic()
+        ds = ray.data.read_parquet(files)
+        res = process(ds)
+        sink_rows: dict[str, int] = {}
+        for tag, branch in res["sinks"].items():
+            final = os.path.join(self.out_dir, f"sink={tag}", f"part-{pid}")
+            sink_rows[tag] = self._atomic_write_parquet(branch, final, pid)
+        if res.get("counts") is not None:
+            partial = res["counts"].to_pandas()
+            tmp = os.path.join(self.tmp_dir, f"{pid}-partial.parquet")
+            pq.write_table(pa.Table.from_pandas(partial, preserve_index=False), tmp)
+            os.rename(tmp, os.path.join(self.partial_dir, f"{pid}.parquet"))
+
+        info = {
+            "partition_id": pid,
+            "input_files": sorted(files),
+            "sink_rows": sink_rows,
+            "rows_in": sum(sink_rows.values()),
+            "wall_sec": round(time.monotonic() - t0, 3),
+            "skipped": False,
+        }
+        # commit marker LAST — its presence is the transaction boundary
+        tmp_marker = os.path.join(self.tmp_dir, f"{pid}-marker.json")
+        with open(tmp_marker, "w") as fh:
+            json.dump(info, fh, indent=1)
+        os.rename(tmp_marker, self._marker(pid))
+        return info
+
+    def run(self, partitions: list[list[str]], process: Callable) -> list[dict]:
+        return [self.run_partition(files, process) for files in partitions]
+
+    # -- final aggregates -----------------------------------------------------
+
+    def final_counts(self, keys: list[str], n_col: str = "n") -> "pa.Table":
+        """Re-reduce the per-partition partial counts (idempotent)."""
+        parts = [
+            pq.read_table(os.path.join(self.partial_dir, f))
+            for f in sorted(os.listdir(self.partial_dir))
+            if f.endswith(".parquet")
+        ]
+        if not parts:
+            return pa.table({})
+        allp = pa.concat_tables(parts)
+        out = allp.group_by(keys).aggregate([(n_col, "sum")])
+        return out.rename_columns(keys + [n_col])

@@ -1,0 +1,82 @@
+"""Operator conformance via golden in/out pairs — the reference's
+testDecoder pattern (tests/utils.js:9-69) over batches instead of messages."""
+
+import pyarrow as pa
+import pytest
+
+from node_shovel_ray.stages.decode import (
+    ProtobufDecoder,
+    decode_base64,
+    decode_csv,
+    decode_json,
+    decode_msgpack,
+    group_multiline,
+    json_field,
+)
+
+
+def _t(texts, col="text"):
+    return pa.table({col: pa.array(texts, pa.string())})
+
+
+def test_decode_json_roundtrip():
+    # mirrors tests/decoders/json.js:6-12
+    out = decode_json(_t(['{"b":2,"a":1}', "not json", None]))
+    assert out["content"][0].as_py() == '{"a":1,"b":2}'
+    assert out["decode_ok"].to_pylist() == [True, False, False]
+    assert out["content"][1].as_py() is None
+
+
+def test_decode_json5ish():
+    # mirrors tests/decoders/json5.js semantics (single quotes, trailing comma)
+    out = decode_json(_t(["{'a': 1, 'b': 'x',}"]), lenient=True)
+    assert out["decode_ok"][0].as_py() is True
+    assert out["content"][0].as_py() == '{"a":1,"b":"x"}'
+
+
+def test_json_field():
+    out = json_field(_t(['{"k": 87}', "junk"]), "text", "k", "k_out")
+    assert out["k_out"].to_pylist() == ["87", None]
+
+
+def test_decode_csv_named_columns():
+    # mirrors src/decoders/csv.js:32-52 single-record semantics
+    out = decode_csv(_t(['a,"b,c",3', "x,y,z", "only,two"]),
+                     columns=["c1", "c2", "c3"])
+    assert out["c1"].to_pylist() == ["a", "x", None]
+    assert out["c2"].to_pylist() == ["b,c", "y", None]
+    assert out["decode_ok"].to_pylist() == [True, True, False]
+
+
+def test_decode_base64():
+    # mirrors tests/decoders/base64 golden pair
+    import base64
+
+    good = base64.b64encode("hello shovel".encode()).decode()
+    out = decode_base64(_t([good, "!!!notb64"]))
+    assert out["content"].to_pylist() == ["hello shovel", None]
+    assert out["decode_ok"].to_pylist() == [True, False]
+
+
+def test_decode_msgpack_gated():
+    try:
+        import msgpack  # noqa: F401
+
+        has = True
+    except ImportError:
+        has = False
+    if not has:
+        with pytest.raises(NotImplementedError):
+            decode_msgpack(pa.table({"payload": pa.array([b"x"], pa.binary())}))
+
+
+def test_group_multiline():
+    # mirrors src/decoders/multiline.js flush-on-blank contract
+    out = group_multiline(_t(["a", "b", "", "c", "", "", "d", "e"]))
+    assert out["text"].to_pylist() == ["a\nb", "c", "d\ne"]
+
+
+def test_protobuf_stub_raises():
+    dec = ProtobufDecoder("message T { int32 a = 1; }", delimited=True)
+    with pytest.raises(NotImplementedError):
+        dec(pa.table({"payload": pa.array([b""], pa.binary())}))

@@ -1,0 +1,77 @@
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from node_shovel_ray.functions.dedup import (
+    dedup_exact,
+    dedup_exact_counts,
+    minhash_lsh_pairs,
+    simhash_pairs,
+    _shingles,
+)
+
+
+def test_dedup_exact_resume_replay():
+    # FIXTURES.md §6: duplicated (conv_id, turn_idx) rows → one survivor
+    t = pa.table(
+        {
+            "doc_id": pa.array([3, 1, 2, 5, 4], pa.int64()),
+            "text": pa.array(["a", "a", "b", "b", "c"]),
+        }
+    )
+    out = dedup_exact(rd.from_arrow(t)).to_pandas().sort_values("text")
+    assert out["doc_id"].tolist() == [1, 2, 4]  # min id survives
+
+    cnt = dedup_exact_counts(rd.from_arrow(t)).to_pandas().sort_values("text")
+    assert cnt["keep_id"].tolist() == [1, 2, 4]
+    assert cnt["n_dups"].tolist() == [2, 2, 1]
+
+
+def _near_dup_corpus():
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    texts = {
+        0: base,
+        1: base.replace("today", "tonight"),          # near-dup of 0
+        2: "completely different content about spark ray data pipelines",
+        3: base,                                        # exact dup of 0
+        4: "another unrelated string with its own words entirely here",
+    }
+    return pa.table(
+        {
+            "doc_id": pa.array(list(texts), pa.int64()),
+            "text": pa.array(list(texts.values())),
+        }
+    )
+
+
+def test_minhash_lsh_finds_near_dups():
+    ds = rd.from_arrow(_near_dup_corpus())
+    pairs = minhash_lsh_pairs(ds, threshold=0.5, num_perm=64, num_bands=16,
+                              concurrency=2).to_pandas()
+    got = {tuple(sorted(p)) for p in zip(pairs["doc_a"], pairs["doc_b"])}
+    assert (0, 3) in got  # exact dup always caught
+    assert (0, 1) in got or (1, 3) in got  # near dup caught
+    assert all({a, b} & {2, 4} == set() or a == b for a, b in got) or not any(
+        {2, 4} <= {a, b} for a, b in got
+    )
+
+
+def test_minhash_jaccard_vs_bruteforce():
+    # LSH-verified jaccard equals exact shingle jaccard (python oracle)
+    ds = rd.from_arrow(_near_dup_corpus())
+    pairs = minhash_lsh_pairs(ds, threshold=0.3, concurrency=2).to_pandas()
+    texts = _near_dup_corpus().to_pandas().set_index("doc_id")["text"]
+    for _, r in pairs.iterrows():
+        sa = _shingles(texts[r["doc_a"]].split(), 3)
+        sb = _shingles(texts[r["doc_b"]].split(), 3)
+        assert abs(r["jaccard"] - len(sa & sb) / len(sa | sb)) < 1e-9
+
+
+def test_simhash_pairs():
+    ds = rd.from_arrow(_near_dup_corpus())
+    pairs = simhash_pairs(ds, max_hamming=4, concurrency=2).to_pandas()
+    got = {tuple(sorted(p)) for p in zip(pairs["doc_a"], pairs["doc_b"])}
+    assert (0, 3) in got           # identical text → hamming 0
+    assert (2, 4) not in got        # unrelated text stays apart

@@ -1,0 +1,62 @@
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from node_shovel_ray.stages.enrich import (
+    lookup_enrich,
+    seq_number,
+    seq_number_salted,
+)
+
+
+def test_lookup_enrich(tiny_tables):
+    t, meta = tiny_tables
+    out = lookup_enrich(rd.from_arrow(t), meta, concurrency=2).to_pandas()
+    m = meta.to_pandas().set_index("conv_id")
+    assert (out["tenant"].to_numpy() == m.loc[out["conv_id"], "tenant"].to_numpy()).all()
+    assert (out["priority"].to_numpy() == m.loc[out["conv_id"], "priority"].to_numpy()).all()
+    assert len(out) == len(t)
+
+
+def test_lookup_enrich_missing_key_fill():
+    t = pa.table({"conv_id": ["a", "zz"], "v": [1, 2]})
+    meta = pa.table({"conv_id": ["a"], "tenant": ["t0"]})
+    out = lookup_enrich(rd.from_arrow(t), meta, fill={"tenant": "unknown"}).to_pandas()
+    assert out.set_index("conv_id")["tenant"].to_dict() == {"a": "t0", "zz": "unknown"}
+
+
+def _shuffled_two_convs():
+    rows = []
+    for conv, n in (("c-a", 7), ("c-b", 5)):
+        for i in range(n):
+            rows.append({"conv_id": conv, "turn_idx": i})
+    df = pd.DataFrame(rows).sample(frac=1.0, random_state=7).reset_index(drop=True)
+    return df
+
+
+def test_seq_number_shuffled_input():
+    # FIXTURES.md §6: shuffled input order → seq follows turn_idx order,
+    # numbering independent per conv
+    df = _shuffled_two_convs()
+    out = seq_number(rd.from_pandas(df)).to_pandas()
+    assert (out["seq_in_conv"] == out["turn_idx"]).all()
+
+
+def test_seq_number_salted_equals_plain(tiny_tables):
+    t, _ = tiny_tables
+    ds = rd.from_arrow(t.select(["conv_id", "turn_idx"]))
+    plain = (
+        seq_number(ds).to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    salted = (
+        seq_number_salted(rd.from_arrow(t.select(["conv_id", "turn_idx"])), chunk=16)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert (plain["seq_in_conv"].to_numpy() == salted["seq_in_conv"].to_numpy()).all()
+    # with chunk=16, hot (>16-turn) conversations really exercised the salt path
+    sizes = t.to_pandas().groupby("conv_id").size()
+    assert sizes.max() > 16

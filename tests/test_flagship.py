@@ -1,0 +1,94 @@
+"""Pipeline-level equality vs the pure-Python oracle (SURVEY.md §5):
+per-turn text equality under stable (conv_id, turn_idx) ordering,
+routed-row-set equality per sink, per-sink aggregate count equality,
+and counter reconciliation in == routed + ignored + rejected."""
+
+import glob
+import json
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data as rd
+
+from node_shovel_ray import schema as S
+from node_shovel_ray.pipelines import flagship
+
+from _oracle import run_oracle
+
+
+def _key_set(df):
+    return set(zip(df["conv_id"], df["turn_idx"]))
+
+
+def test_flagship_vs_oracle(tiny_tables, tmp_path):
+    t, meta = tiny_tables
+    oracle = run_oracle(t, meta)
+
+    res = flagship.run(rd.from_arrow(t), meta, out_dir=str(tmp_path))
+
+    # routed-row-set equality per parquet sink + per-turn text equality
+    for tag in S.SINKS:
+        files = glob.glob(os.path.join(str(tmp_path), f"sink={tag}", "*.parquet"))
+        got = pd.concat([pq.read_table(f).to_pandas() for f in files])
+        want = oracle["sinks"][tag]
+        assert _key_set(got) == _key_set(want), tag
+        g = got.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+        w = want.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+        assert g["text"].tolist() == w["text"].tolist(), tag
+        assert g["seq_in_conv"].tolist() == w["seq_in_conv"].tolist(), tag
+
+    # audit broadcast sink (JSONL): row-set equality, rows also in primaries
+    audit_files = glob.glob(os.path.join(str(tmp_path), "sink=audit", "*"))
+    rows = []
+    for f in audit_files:
+        with open(f) as fh:
+            rows.extend(json.loads(line) for line in fh if line.strip())
+    got_audit = pd.DataFrame(rows)
+    assert _key_set(got_audit) == _key_set(oracle["sinks"]["audit"])
+    assert _key_set(got_audit) <= (
+        _key_set(oracle["sinks"]["errors"])
+        | _key_set(oracle["sinks"]["tools"])
+        | _key_set(oracle["sinks"]["chat"])
+    )
+
+    # per-sink aggregate count equality
+    got_counts = (
+        res["counts"]
+        .to_pandas()
+        .sort_values(["sink_tag", "role", "tool", "hour"])
+        .reset_index(drop=True)
+    )
+    want_counts = (
+        oracle["counts"]
+        .astype({"n": "int64"})
+        .sort_values(["sink_tag", "role", "tool", "hour"])
+        .reset_index(drop=True)[got_counts.columns]
+    )
+    pd.testing.assert_frame_equal(got_counts, want_counts, check_dtype=False)
+
+    # counter reconciliation: in == sum of primary sink rows (no drops)
+    n_in = len(t)
+    n_routed = sum(len(oracle["sinks"][tag]) for tag in S.SINKS)
+    assert n_in == n_routed
+
+
+def test_flagship_from_events_smoke():
+    ev = rd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    res = flagship.from_events(ev)
+    counts = res["counts"].to_pandas()
+    assert counts["n"].sum() > 1000
+    assert set(counts["sink_tag"]) >= {"errors", "tools", "chat"}
+
+
+def test_skew_aware_flagship_equal(tiny_tables):
+    t, meta = tiny_tables
+    a = flagship.run(rd.from_arrow(t), meta)["counts"].to_pandas()
+    b = flagship.run(rd.from_arrow(t), meta, skew_aware=True)["counts"].to_pandas()
+    cols = ["sink_tag", "role", "tool", "hour"]
+    pd.testing.assert_frame_equal(
+        a.sort_values(cols).reset_index(drop=True),
+        b.sort_values(cols).reset_index(drop=True),
+    )

@@ -1,0 +1,87 @@
+"""Kill/resume fixture (FIXTURES.md §7): re-run skips committed partitions,
+final outputs byte-equal an uninterrupted run, lineage is logged."""
+
+import glob
+import json
+import os
+
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from node_shovel_ray.pipelines import flagship
+from node_shovel_ray.state.manifest import ResumableRunner
+
+
+def _partitions(fixture_dir):
+    files = sorted(glob.glob(os.path.join(fixture_dir, "transcripts", "*.parquet")))
+    return [[f] for f in files]  # one shard per partition (conv-aligned)
+
+
+def _process(meta):
+    from node_shovel_ray import schema as S
+    from node_shovel_ray.stages.aggregate import sink_counts
+    from node_shovel_ray.stages.parse import parse
+    from node_shovel_ray.stages.route import branch, broadcast_branch
+
+    def fn(ds):
+        routed = flagship.enrich_route(parse(ds), meta).materialize()
+        sinks = {tag: branch(routed, tag) for tag in S.SINKS}
+        sinks["audit"] = broadcast_branch(routed)
+        return {"sinks": sinks, "counts": sink_counts(routed)}
+
+    return fn
+
+
+def _read_sinks(out_dir):
+    out = {}
+    for tag in ("errors", "tools", "chat", "audit"):
+        files = glob.glob(os.path.join(out_dir, f"sink={tag}", "part-*", "*.parquet"))
+        df = pd.concat([pq.read_table(f).to_pandas() for f in files])
+        out[tag] = df.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    return out
+
+
+def test_kill_resume(tiny_fixture, tiny_tables, tmp_path):
+    _, meta = tiny_tables
+    parts = _partitions(tiny_fixture)
+    assert len(parts) == 4
+    process = _process(meta)
+
+    # uninterrupted reference run
+    ref_dir = str(tmp_path / "ref")
+    ref = ResumableRunner(ref_dir)
+    ref.run(parts, process)
+
+    # interrupted run: only half the partitions commit, then "crash"
+    out_dir = str(tmp_path / "out")
+    r1 = ResumableRunner(out_dir)
+    infos1 = r1.run(parts[:2], process)
+    assert all(not i["skipped"] for i in infos1)
+    assert len(r1.committed()) == 2
+
+    # resume: full partition list; committed ones must be skipped
+    r2 = ResumableRunner(out_dir)
+    infos2 = r2.run(parts, process)
+    assert [i["skipped"] for i in infos2] == [True, True, False, False]
+
+    # identical final sink row-sets + text vs uninterrupted run
+    got, want = _read_sinks(out_dir), _read_sinks(ref_dir)
+    for tag in got:
+        pd.testing.assert_frame_equal(got[tag], want[tag]), tag
+
+    # re-reduced aggregates equal, no double counting
+    keys = ["sink_tag", "role", "tool", "hour"]
+    a = r2.final_counts(keys).to_pandas().sort_values(keys).reset_index(drop=True)
+    b = ref.final_counts(keys).to_pandas().sort_values(keys).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+    # lineage recorded per partition
+    m = sorted(glob.glob(os.path.join(out_dir, "_manifest", "partition-*.json")))
+    assert len(m) == 4
+    info = json.load(open(m[0]))
+    assert info["input_files"] and "sink_rows" in info and info["rows_in"] > 0
+
+    # third run over everything: pure no-op
+    infos3 = ResumableRunner(out_dir).run(parts, process)
+    assert all(i["skipped"] for i in infos3)

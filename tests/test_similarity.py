@@ -1,0 +1,40 @@
+import numpy as np
+import pyarrow.parquet as pq
+
+import ray.data as rd
+
+from node_shovel_ray.functions.similarity import knn_brute_force, knn_ivf, _norm
+
+
+def _corpus():
+    t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+    mat = np.stack(t["embedding"].to_pandas().to_numpy()).astype(np.float64)
+    ids = t["vec_id"].to_numpy()
+    return t, mat, ids
+
+
+def test_knn_brute_force_exact():
+    t, mat, ids = _corpus()
+    q = mat[:2]
+    got = knn_brute_force(rd.from_arrow(t), q, k=5, concurrency=2)
+    # numpy oracle
+    qn, mn = _norm(q.copy()), _norm(mat.copy())
+    sims = qn @ mn.T
+    for qi in range(2):
+        want = set(ids[np.argsort(-sims[qi])[:5]])
+        have = set(got[got["query_idx"] == qi]["vec_id"])
+        assert have == want
+
+
+def test_knn_ivf_recall():
+    t, mat, ids = _corpus()
+    q = mat[5:8]
+    exact = knn_brute_force(rd.from_arrow(t), q, k=10, concurrency=2)
+    approx = knn_ivf(rd.from_arrow(t), q, k=10, n_clusters=8, nprobe=4,
+                     concurrency=2)
+    recalls = []
+    for qi in range(3):
+        e = set(exact[exact["query_idx"] == qi]["vec_id"])
+        a = set(approx[approx["query_idx"] == qi]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.5  # nprobe=4/8 buckets → decent recall

@@ -1,0 +1,56 @@
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from node_shovel_ray.functions.textstats import (
+    LangId,
+    QualityScore,
+    fingerprint,
+    token_count,
+)
+
+
+def test_token_count_vs_python():
+    texts = ["a b  c", "", "   ", "one", "x y z w v"]
+    out = token_count(pa.table({"text": pa.array(texts)}))
+    assert out["n_tokens"].to_pylist() == [len(t.split()) for t in texts]
+
+
+def test_token_count_matches_documents_table():
+    ds = rd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    out = ds.map_batches(token_count, batch_format="pyarrow").to_pandas()
+    assert (out["n_tokens"] == out["text"].str.split().str.len()).all()
+
+
+def test_quality_score_ranges():
+    df = pd.DataFrame({"text": [
+        "the cat sat on the mat and it is a fine day for all of us",
+        "!!! ??? ### $$$ %%%",
+        "",
+    ]})
+    out = QualityScore()(df)
+    assert ((out["quality"] >= 0) & (out["quality"] <= 1)).all()
+    assert out.loc[0, "quality"] > out.loc[1, "quality"]  # prose beats noise
+
+
+def test_langid_heuristic():
+    df = pd.DataFrame({"text": [
+        "the quick fox and the dog in a field of dreams",
+        "der Hund und die Katze sind nicht zu Hause mit der Maus",
+        "le chat est dans la maison et il ne veut pas sortir pour le moment",
+        "12345",
+    ]})
+    out = LangId()(df)
+    assert out["lang_pred"].tolist()[:3] == ["en", "de", "fr"]
+    assert out["lang_pred"].tolist()[3] == "unknown"
+
+
+def test_fingerprint_stability():
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    t = pa.table({"text": pa.array([base, base, base + " tail-change"])})
+    out = fingerprint(t)["fingerprint"].to_pylist()
+    assert out[0] == out[1]  # identical text → identical fingerprint
+    # small tail edit usually keeps the min-window fingerprint
+    assert isinstance(out[2], int)
