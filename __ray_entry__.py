@@ -19,7 +19,7 @@ import pyarrow as pa
 
 import ray.data as rd
 
-from node_shovel_ray.pipelines import flagship, sql_oracle as Q
+from node_shovel_ray.pipelines import corpus, flagship, relational, sql_oracle as Q
 from node_shovel_ray.stages.parse import parse
 from node_shovel_ray.stages.transcriptify import transcriptify
 
@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return sink_counts(_routed(sf_dir))
 
     return {
+        # flagship transcript DAG (oracle-checked end to end)
         "transcriptify": q_transcripts,
         "parse": q_parse,
         "conv_meta": q_conv_meta,
@@ -94,6 +95,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sink_chat": lambda d: _sink(d, "chat"),
         "sink_audit": q_audit,
         "sink_counts": q_sink_counts,
+        # promoted relational operators (SURVEY.md §2.7)
+        "agg_pricing": relational.agg_pricing_summary,
+        "join_mktsegment": relational.join_orders_customers,
+        "topk_orders": relational.topk_orders,
+        "distinct_event_types": relational.distinct_event_types,
+        "sessionize": relational.sessionize,
+        "filter_project": relational.filter_project_revenue,
+        "union_extremes": relational.union_event_extremes,
+        # training-data corpus ops
+        "dedup_exact_docs": corpus.dedup_exact_docs,
+        "token_stats_docs": corpus.token_stats_docs,
+        "quality_docs": corpus.quality_docs,
+        "langid_docs": corpus.langid_docs,
+        "fingerprint_docs": corpus.fingerprint_docs,
+        "minhash_pairs_docs": corpus.minhash_pairs_docs,
+        "simhash_pairs_docs": corpus.simhash_pairs_docs,
+        "knn_vec0": corpus.knn_vec0,
+        "knn_ivf_vec0": corpus.knn_ivf_vec0,
     }
 
 
@@ -108,4 +127,72 @@ def oracle_sql() -> dict[str, str]:
         "sink_chat": Q.sink_sql("chat"),
         "sink_audit": Q.Q_AUDIT,
         "sink_counts": Q.Q_SINK_COUNTS,
+        "agg_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_revenue,
+                   count(*) AS n
+            FROM lineitem GROUP BY 1, 2
+        """,
+        "join_mktsegment": """
+            SELECT c_mktsegment, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total
+            FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1
+        """,
+        "topk_orders": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey DESC LIMIT 10
+        """,
+        "distinct_event_types": "SELECT DISTINCT event_type FROM events",
+        "sessionize": """
+            WITH s AS (
+              SELECT event_id, user_id, ts,
+                CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END AS is_new
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT event_id, user_id,
+              CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_idx
+            FROM s
+        """,
+        "filter_project": """
+            SELECT l_orderkey,
+                   round(l_extendedprice * (1 - l_discount), 2) AS revenue
+            FROM lineitem WHERE l_shipdate < TIMESTAMP '1997-01-01'
+        """,
+        "union_extremes": """
+            SELECT event_id, event_type, value FROM events
+            WHERE value > 180.0 OR event_type = 'error'
+        """,
+        "dedup_exact_docs": """
+            SELECT text, min(doc_id) AS keep_id, count(*) AS n_dups
+            FROM documents GROUP BY text
+        """,
+        "token_stats_docs": r"""
+            SELECT doc_id,
+              CASE WHEN trim(text) = '' THEN 0
+                   ELSE CAST(array_length(string_split_regex(trim(text), '\s+')) AS BIGINT)
+              END AS n_tokens
+            FROM documents
+        """,
+        "knn_vec0": """
+            SELECT vec_id,
+                   round(list_cosine_similarity(
+                     CAST(embedding AS DOUBLE[]),
+                     CAST((SELECT embedding FROM embeddings WHERE vec_id = 0) AS DOUBLE[])
+                   ), 4) AS sim
+            FROM embeddings
+            ORDER BY list_cosine_similarity(
+                     CAST(embedding AS DOUBLE[]),
+                     CAST((SELECT embedding FROM embeddings WHERE vec_id = 0) AS DOUBLE[])
+                   ) DESC, vec_id ASC
+            LIMIT 10
+        """,
+        # quality_docs / langid_docs / fingerprint_docs / minhash_pairs_docs /
+        # simhash_pairs_docs / knn_ivf_vec0: heuristic or sketch-based, not
+        # SQL-expressible → rows-only check (pytest covers them vs python
+        # oracles at tiny scale).
     }

@@ -1,0 +1,203 @@
+"""Benchmark harness — the driver runs this per-round (BENCH_r{N}.json).
+
+Prints ONE JSON line:
+  {"metric": "flagship_e2e_sec", "value": <sec>, "unit": "sec",
+   "queries": {...per-pipeline sec...}, "sf": ..., "num_cpus": N,
+   "turns": T, "turns_per_sec": ...}
+
+Headline = the flagship parse→enrich→route→aggregate DAG over a cached
+seeded synthetic transcript table (~1.5M turns, ~1.8 GB of text), written as
+64 conv-interleaved parquet shards — large enough that fixed overheads
+amortize at 32 CPUs. Side queries cover the other operator families over
+$GRAFT_SF_DIR (default /root/testdata/sf0.1).
+
+--scaling: run the headline twice in fresh processes (num_cpus=8 then 32)
+on the same input and report both throughputs + scaling efficiency —
+the sandbox substitute for N vs 4N nodes (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_DIR = os.environ.get("NSR_BENCH_DIR", "/tmp/nsr_bench")
+BENCH_CONVS = int(os.environ.get("NSR_BENCH_CONVS", "20000"))  # ~1.5M turns
+
+
+def _ensure_fixture() -> str:
+    from node_shovel_ray.gen import write_fixture
+
+    return write_fixture(BENCH_DIR, n_convs=BENCH_CONVS, seed=42, n_files=64)
+
+
+def _flagship(sink_dir: str) -> int:
+    """Full DAG incl. sink writes + aggregate; returns turns processed."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from node_shovel_ray.pipelines import flagship
+
+    from node_shovel_ray.sources.partitioned import read_partitioned_parquet
+
+    meta = pq.read_table(os.path.join(BENCH_DIR, "conv_meta.parquet"))
+    # fixture files are conv-sharded → file-aligned blocks → block-local seq
+    # numbering, no shuffle of the wide text rows
+    ds = read_partitioned_parquet(os.path.join(BENCH_DIR, "transcripts"))
+    res = flagship.run(ds, meta, out_dir=sink_dir, assume_partitioned=True)
+    counts = res["counts"].to_pandas()
+    primaries = counts[counts["sink_tag"] != "audit"]
+    return int(primaries["n"].sum())
+
+
+def _side_queries() -> dict[str, float]:
+    """One timed representative per operator family over SF_DIR."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from node_shovel_ray.functions.dedup import dedup_exact_counts, minhash_lsh_pairs
+    from node_shovel_ray.functions.similarity import knn_brute_force
+    from node_shovel_ray.functions.textstats import QualityScore, token_count
+    from node_shovel_ray.pipelines import flagship
+
+    out: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.monotonic()
+        fn()
+        out[name] = round(time.monotonic() - t0, 3)
+
+    timed(
+        "transcript_dag_events",
+        lambda: flagship.from_events(
+            rd.read_parquet(os.path.join(SF_DIR, "events.parquet"))
+        )["counts"].to_pandas(),
+    )
+    timed(
+        "dedup_exact_docs",
+        lambda: dedup_exact_counts(
+            rd.read_parquet(os.path.join(SF_DIR, "documents.parquet"))
+        ).count(),
+    )
+    timed(
+        "minhash_lsh_docs",
+        lambda: minhash_lsh_pairs(
+            rd.read_parquet(os.path.join(SF_DIR, "documents.parquet")),
+            threshold=0.5,
+            concurrency=None,
+        ).count(),
+    )
+
+    def _knn():
+        t = pq.read_table(
+            os.path.join(SF_DIR, "embeddings.parquet")
+        )
+        q = np.stack(t["embedding"].to_pandas().head(8).to_numpy())
+        knn_brute_force(rd.read_parquet(os.path.join(SF_DIR, "embeddings.parquet")), q, k=10)
+
+    timed("knn_embeddings", _knn)
+    timed(
+        "textstats_docs",
+        lambda: rd.read_parquet(os.path.join(SF_DIR, "documents.parquet"))
+        .map_batches(token_count, batch_format="pyarrow")
+        .map_batches(QualityScore, batch_format="pandas", concurrency=(1, 8))
+        .count(),
+    )
+    return out
+
+
+def run_once() -> dict:
+    import ray
+
+    _ensure_fixture()
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import shutil
+
+    sink_dir = f"/tmp/nsr_bench_out_{NUM_CPUS}"
+    shutil.rmtree(sink_dir, ignore_errors=True)
+
+    # warm page cache so we measure compute+shuffle, not first disk read
+    # (count() alone reads only metadata — force a real column scan)
+    import pyarrow as pa
+    import ray.data as rd
+
+    rd.read_parquet(os.path.join(BENCH_DIR, "transcripts")).map_batches(
+        lambda t: pa.table({"b": pa.array([t.get_total_buffer_size()], pa.int64())}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).count()
+
+    t0 = time.monotonic()
+    turns = _flagship(sink_dir)
+    headline = time.monotonic() - t0
+
+    queries = {"flagship": round(headline, 3)}
+    if os.environ.get("NSR_SKIP_SIDE") != "1":
+        queries.update(_side_queries())
+
+    result = {
+        "metric": "flagship_e2e_sec",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "turns": turns,
+        "turns_per_sec": round(turns / headline, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    """Same job, fresh processes, 8 vs 32 CPUs → scaling efficiency."""
+    def sub(ncpu: int) -> dict:
+        env = dict(
+            os.environ, RAY_GRAFT_CPUS=str(ncpu), NSR_SKIP_SIDE="1"
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = sub(8), sub(32)
+    eff = (lo["value"] / hi["value"]) / (32 / 8)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "turns": lo["turns"],
+        "sec_8cpu": lo["value"],
+        "sec_32cpu": hi["value"],
+        "turns_per_sec_8cpu": lo["turns_per_sec"],
+        "turns_per_sec_32cpu": hi["turns_per_sec"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_once()))

@@ -59,13 +59,14 @@ def dedup_exact(
 ) -> "ray.data.Dataset":
     """Exact dedup: keep the min-id row per identical key value.
 
-    Implemented as groupby(content)→min(id): at scale, group on the 64-bit
-    content hash instead of the full text to cut shuffle bytes; equal-hash
-    groups are tiny so the exact-text confirmation inside the group is free.
+    One hash-partition exchange on the key, then a vectorized
+    ``drop_duplicates`` per block. At 100 TB, pass a 64-bit content-hash
+    column as ``key_col`` (see :func:`add_content_hash`) to cut shuffle
+    bytes; equal-hash groups are tiny so exact confirmation is free.
     """
-    return ds.groupby(key_col).map_groups(
-        lambda g: g.nsmallest(1, id_col), batch_format="pandas"
-    )
+    from ..stages.keyed import first_per_key_block, keyed_map_blocks
+
+    return keyed_map_blocks(ds, [key_col], first_per_key_block([key_col], id_col))
 
 
 def dedup_exact_counts(
@@ -164,7 +165,7 @@ def minhash_lsh_pairs(
     k: int = 3,
     seed: int = 42,
     max_bucket: int = 200,
-    concurrency: int = 4,
+    concurrency=None,
 ) -> "ray.data.Dataset":
     """Near-duplicate candidate pairs with exact-Jaccard verification.
 
@@ -172,6 +173,9 @@ def minhash_lsh_pairs(
     Buckets larger than ``max_bucket`` are truncated (boilerplate guard) —
     at 100 TB a single viral template otherwise creates an O(n²) bucket.
     """
+    from ..stages.keyed import default_pool
+
+    concurrency = concurrency or default_pool()
     rows_per_band = num_perm // num_bands
     texts = ds.select_columns([id_col, column])
     sigs = texts.map_batches(
@@ -186,19 +190,30 @@ def minhash_lsh_pairs(
         explode_bands(num_bands, rows_per_band), batch_format="pyarrow"
     )
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].to_numpy())[:max_bucket]
-        if len(ids) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": []})
-        ia, ib = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
+    from ..stages.keyed import first_per_key_block, keyed_map_blocks
 
-    cand = bands.groupby(["band_id", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas"
-    )
-    # dedup candidate pairs across bands (small vs corpus; keyed shuffle)
-    cand = cand.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        outs_a, outs_b = [], []
+        for _, g in df.groupby(["band_id", "band_hash"], sort=False):
+            ids = np.sort(g["doc_id"].to_numpy())[:max_bucket]
+            if len(ids) < 2:
+                continue
+            ia, ib = np.triu_indices(len(ids), k=1)
+            outs_a.append(ids[ia])
+            outs_b.append(ids[ib])
+        if not outs_a:
+            return pd.DataFrame(
+                {"doc_a": pd.Series([], dtype="int64"),
+                 "doc_b": pd.Series([], dtype="int64")}
+            )
+        return pd.DataFrame(
+            {"doc_a": np.concatenate(outs_a), "doc_b": np.concatenate(outs_b)}
+        )
+
+    cand = keyed_map_blocks(bands, ["band_id", "band_hash"], bucket_pairs)
+    # dedup candidate pairs across bands (small vs corpus; keyed exchange)
+    cand = keyed_map_blocks(
+        cand, ["doc_a", "doc_b"], first_per_key_block(["doc_a", "doc_b"])
     )
 
     # verify: join texts back via broadcast when small, else bucketed join.
@@ -266,11 +281,14 @@ def simhash_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     seed: int = 42,
-    concurrency: int = 4,
+    concurrency=None,
 ) -> "ray.data.Dataset":
     """Near-dup pairs by simhash: bucket on 4×16-bit bands (any pair within
     Hamming distance 3 shares at least one exact 16-bit band), verify
     Hamming distance inside buckets."""
+    from ..stages.keyed import default_pool
+
+    concurrency = concurrency or default_pool()
     sigs = ds.select_columns([id_col, column]).map_batches(
         SimHasher,
         fn_constructor_kwargs=dict(seed=seed, column=column, id_col=id_col),
@@ -298,23 +316,30 @@ def simhash_pairs(
 
     bands = sigs.map_batches(bandify, batch_format="pyarrow")
 
-    def bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("doc_id")
-        ids = g["doc_id"].to_numpy()
-        hs = g["simhash"].to_numpy().astype(np.uint64)
-        if len(ids) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
-        ia, ib = np.triu_indices(len(ids), k=1)
-        x = hs[ia] ^ hs[ib]
-        ham = np.array([bin(int(v)).count("1") for v in x])
-        keep = ham <= max_hamming
-        return pd.DataFrame(
-            {"doc_a": ids[ia][keep], "doc_b": ids[ib][keep], "hamming": ham[keep]}
-        )
+    from ..stages.keyed import first_per_key_block, keyed_map_blocks
 
-    pairs = bands.groupby(["band_id", "band_val"]).map_groups(
-        bucket, batch_format="pandas"
-    )
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    def buckets(df: pd.DataFrame) -> pd.DataFrame:
+        out = {"doc_a": [], "doc_b": [], "hamming": []}
+        for _, g in df.groupby(["band_id", "band_val"], sort=False):
+            if len(g) < 2:
+                continue
+            g = g.sort_values("doc_id")
+            ids = g["doc_id"].to_numpy()
+            hs = g["simhash"].to_numpy().astype(np.uint64)
+            ia, ib = np.triu_indices(len(ids), k=1)
+            x = hs[ia] ^ hs[ib]
+            ham = np.array([bin(int(v)).count("1") for v in x])
+            keep = ham <= max_hamming
+            out["doc_a"].append(ids[ia][keep])
+            out["doc_b"].append(ids[ib][keep])
+            out["hamming"].append(ham[keep])
+        if not out["doc_a"]:
+            return pd.DataFrame(
+                {k: pd.Series([], dtype="int64") for k in ("doc_a", "doc_b", "hamming")}
+            )
+        return pd.DataFrame({k: np.concatenate(v) for k, v in out.items()})
+
+    pairs = keyed_map_blocks(bands, ["band_id", "band_val"], buckets)
+    return keyed_map_blocks(
+        pairs, ["doc_a", "doc_b"], first_per_key_block(["doc_a", "doc_b"])
     )

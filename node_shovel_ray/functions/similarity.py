@@ -71,13 +71,16 @@ def knn_brute_force(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    concurrency: int = 4,
+    concurrency=None,
 ) -> pd.DataFrame:
     """Exact cosine top-k: (query_idx, id, sim) rows, k per query.
 
     Partial top-k per batch in the actor pool; the driver merges only
     ``k × n_batches`` candidate rows — never the corpus.
     """
+    from ..stages.keyed import default_pool
+
+    concurrency = concurrency or default_pool()
     ref = ray.put(np.asarray(queries, dtype=np.float64))
     partial = ds.select_columns([id_col, vec_col]).map_batches(
         BatchTopK,
@@ -118,7 +121,7 @@ def knn_ivf(
     vec_col: str = "embedding",
     sample_n: int = 2048,
     seed: int = 42,
-    concurrency: int = 4,
+    concurrency=None,
 ) -> pd.DataFrame:
     """IVF-bucketed approximate top-k (the 100 TB path).
 
@@ -127,6 +130,9 @@ def knn_ivf(
     only the ``nprobe`` closest buckets per query — the bucket filter is a
     vectorized predicate, so non-probed buckets never leave the scan.
     """
+    from ..stages.keyed import default_pool
+
+    concurrency = concurrency or default_pool()
     sample = ds.select_columns([vec_col]).limit(sample_n).to_pandas()
     x = _norm(np.stack(sample[vec_col].to_numpy()).astype(np.float64))
     cent = _norm(_kmeans(x, n_clusters, seed=seed))

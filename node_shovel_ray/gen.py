@@ -64,43 +64,58 @@ def gen_transcripts(
         np.int32
     )
 
-    conv_id = pd.Series(conv_k).map(lambda k: f"conv-{k:08d}").to_numpy(dtype=object)
+    import pyarrow.compute as pc
+
+    conv_id = pc.binary_join_element_wise(
+        "conv-", pc.utf8_lpad(pc.cast(pa.array(conv_k), pa.string()), 8, "0"), ""
+    )
 
     role = ROLES[turn_idx % 3].astype(object)
     role[rng.random(total) < 0.05] = "system"
+    role_arr = pa.array(role, pa.string())
 
     tool_mask = rng.random(total) < 0.30
     hostile_mask = rng.random(total) < 0.01
     tool_mask &= ~hostile_mask  # hostile rows never carry a well-formed tool
     tool = np.where(tool_mask, rng.choice(TOOLS, size=total), "").astype(object)
+    tool_arr = pa.array(tool, pa.string())
 
     err_mask = rng.random(total) < 0.08
     err_num = rng.integers(0, 10000, size=total)
     roletag_mask = rng.random(total) < 0.30
 
-    filler = _filler_pool(rng)[rng.integers(0, 512, size=total)]
-
-    s_role = pd.Series(role, dtype=object)
-    s = pd.Series(filler, dtype=object)
-    s = s.where(
-        ~roletag_mask, "[role=" + s_role + "] " + s
+    # all text assembly in Arrow C kernels — object-dtype concat is ~100×
+    # slower at bench scale
+    filler = pc.take(
+        pa.array(_filler_pool(rng), pa.string()),
+        pa.array(rng.integers(0, 512, size=total), pa.int64()),
     )
-    tool_part = pd.Series(tool, dtype=object)
-    args = pd.Series((err_num % 97).astype(str), dtype=object)
-    s = s.where(
-        ~tool_mask,
-        s + " <tool:" + tool_part + ' args="k=' + args + '">call</tool>',
+    cat = pc.binary_join_element_wise
+    empty = pa.scalar("")
+    prefix = pc.if_else(
+        pa.array(roletag_mask), cat("[role=", role_arr, "] ", ""), empty
     )
-    err_part = pd.Series(np.char.zfill(err_num.astype(str), 4), dtype=object)
-    s = s.where(~err_mask, s + " ERR-" + err_part)
-    # hostile variants cycle through the three failure modes of FIXTURES §1.1
+    args = pc.cast(pa.array(err_num % 97), pa.string())
+    toolpart = pc.if_else(
+        pa.array(tool_mask),
+        cat(" <tool:", tool_arr, ' args="k=', args, '">call</tool>', ""),
+        empty,
+    )
+    errpart = pc.if_else(
+        pa.array(err_mask),
+        cat(" ERR-", pc.utf8_lpad(pc.cast(pa.array(err_num), pa.string()), 4, "0"), ""),
+        empty,
+    )
     hostile_kind = rng.integers(0, 3, size=total)
-    s = s.where(
-        ~(hostile_mask & (hostile_kind == 0)), s + ' <tool:broken args="oops>'
+    h0 = pa.array(hostile_mask & (hostile_kind == 0))
+    h1 = pa.array(hostile_mask & (hostile_kind == 1))
+    h2 = pa.array(hostile_mask & (hostile_kind == 2))
+    hostpart = pc.if_else(
+        h0,
+        ' <tool:broken args="oops>',
+        pc.if_else(h1, "\nbroken [[ line", pc.if_else(h2, " non-ascii é中文 ]]", "")),
     )
-    s = s.where(~(hostile_mask & (hostile_kind == 1)), s + "\nbroken [[ line")
-    s = s.where(~(hostile_mask & (hostile_kind == 2)), s + " non-ascii é中文 ]]")
-    text = s.to_numpy(dtype=object)
+    text = cat(prefix, filler, toolpart, errpart, hostpart, "")
 
     conv_offset_s = (conv_k * 1733) % (72 * 3600)
     ts = EPOCH + (conv_offset_s + 7 * turn_idx.astype(np.int64)) * np.timedelta64(
@@ -109,11 +124,11 @@ def gen_transcripts(
 
     transcripts = pa.table(
         {
-            "conv_id": pa.array(conv_id, pa.string()),
+            "conv_id": pc.cast(conv_id, pa.string()),
             "turn_idx": pa.array(turn_idx, pa.int32()),
-            "role": pa.array(role, pa.string()),
-            "text": pa.array(text, pa.string()),
-            "tool": pa.array(tool, pa.string()),
+            "role": role_arr,
+            "text": pc.cast(text, pa.string()),
+            "tool": tool_arr,
             "ts": pa.array(ts, pa.timestamp("us")),
         },
         schema=S.TRANSCRIPTS,

@@ -1,0 +1,351 @@
+"""YAML pipeline configuration — the user-facing surface of the engine.
+
+Mirrors shovel's pipeline YAML (reference: src/core/pipeline_config.js:68-90)
+— sections ``input / decoder / pipeline / encoder / output``, each selecting
+a plugin by ``use:`` with an ``options:`` mapping — compiled into a lazy
+``ray.data.Dataset`` plan instead of an event-driven process chain
+(src/core/processor.js:79-84). Also reproduces:
+
+- ``${NAME}`` / ``${NAME:default}`` env-var interpolation anywhere in the
+  YAML (src/core/pipeline_config.js:42-54)
+- the plugin registry + user-extension idiom (``use:`` resolved from
+  built-ins or registered callables — src/core/utils.js:14-43): register
+  custom stages with :func:`register`.
+
+A stage factory takes the ``options`` dict and returns a callable
+``Dataset -> Dataset`` (sources return ``() -> Dataset``; sinks return
+``Dataset -> result``).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+import ray.data as rd
+
+_ENV_RE = re.compile(r"\$\{([A-Za-z_][A-Za-z0-9_]*)(?::([^}]*))?\}")
+
+
+def interpolate_env(text: str) -> str:
+    """``${NAME}`` → env value (error if unset), ``${NAME:default}`` → value
+    or default — reference semantics (pipeline_config.js:42-54)."""
+
+    def sub(m: re.Match) -> str:
+        name, default = m.group(1), m.group(2)
+        val = os.environ.get(name)
+        if val is None:
+            if default is None:
+                raise KeyError(f"environment variable {name} is not set and has no default")
+            return default
+        return val
+
+    return _ENV_RE.sub(sub, text)
+
+
+# --------------------------------------------------------------- registry
+
+REGISTRY: dict[str, dict[str, Callable]] = {
+    "input": {}, "decoder": {}, "pipeline": {}, "encoder": {}, "output": {},
+}
+
+
+def register(kind: str, name: str):
+    """Decorator: register a stage factory (the `use:` extension surface)."""
+
+    def deco(factory: Callable) -> Callable:
+        REGISTRY[kind][name] = factory
+        return factory
+
+    return deco
+
+
+def _noop_factory(options):
+    return lambda ds: ds
+
+
+for _kind in ("decoder", "pipeline", "encoder"):
+    REGISTRY[_kind]["noop"] = _noop_factory
+
+
+# inputs -------------------------------------------------------------------
+
+
+@register("input", "parquet")
+def _in_parquet(o):
+    return lambda: rd.read_parquet(o["path"], columns=o.get("columns"))
+
+
+@register("input", "json")
+def _in_json(o):
+    return lambda: rd.read_json(o["path"])
+
+
+@register("input", "csv")
+def _in_csv(o):
+    return lambda: rd.read_csv(o["path"])
+
+
+@register("input", "text")
+def _in_text(o):
+    # file input analogue: line per record (reference: src/inputs/file.js)
+    return lambda: rd.read_text(o["path"])
+
+
+@register("input", "items")
+def _in_items(o):
+    return lambda: rd.from_items(o["items"])
+
+
+# decoders -----------------------------------------------------------------
+
+
+@register("decoder", "json")
+def _dec_json(o):
+    from ..stages.decode import decode_json
+
+    col = o.get("column", "text")
+    return lambda ds: ds.map_batches(
+        lambda t: decode_json(t, column=col, lenient=o.get("lenient", False)),
+        batch_format="pyarrow",
+    )
+
+
+@register("decoder", "json5")
+def _dec_json5(o):
+    return _dec_json({**o, "lenient": True})
+
+
+@register("decoder", "csv")
+def _dec_csv(o):
+    from ..stages.decode import decode_csv
+
+    return lambda ds: ds.map_batches(
+        lambda t: decode_csv(
+            t,
+            column=o.get("column", "text"),
+            columns=o.get("columns"),
+            delimiter=o.get("delimiter", ","),
+        ),
+        batch_format="pyarrow",
+    )
+
+
+@register("decoder", "base64")
+def _dec_b64(o):
+    from ..stages.decode import decode_base64
+
+    return lambda ds: ds.map_batches(
+        lambda t: decode_base64(t, column=o.get("column", "text")),
+        batch_format="pyarrow",
+    )
+
+
+@register("decoder", "transcriptify")
+def _dec_transcriptify(o):
+    from ..stages.transcriptify import transcriptify
+
+    return transcriptify
+
+
+# pipeline (UDF) stages ----------------------------------------------------
+
+
+@register("pipeline", "parse")
+def _pl_parse(o):
+    from ..stages.parse import parse
+
+    return lambda ds: parse(ds, batch_size=o.get("batch_size", 32768))
+
+
+@register("pipeline", "enrich")
+def _pl_enrich(o):
+    import pyarrow.parquet as pq
+
+    from ..stages.enrich import lookup_enrich, seq_number
+
+    def fn(ds):
+        if "lookup_path" in o:
+            lookup = pq.read_table(o["lookup_path"])
+            ds = lookup_enrich(ds, lookup, key=o.get("key", "conv_id"))
+        if o.get("seq_number", True):
+            ds = seq_number(
+                ds,
+                key=o.get("key", "conv_id"),
+                order_col=o.get("order_col", "turn_idx"),
+            )
+        return ds
+
+    return fn
+
+
+@register("pipeline", "route")
+def _pl_route(o):
+    from ..stages.route import route
+
+    return route
+
+
+@register("pipeline", "filter")
+def _pl_filter(o):
+    import pyarrow.compute as pc
+
+    col, op, val = o["column"], o.get("op", "=="), o["value"]
+    ops = {
+        "==": pc.equal, "!=": pc.not_equal, "<": pc.less, "<=": pc.less_equal,
+        ">": pc.greater, ">=": pc.greater_equal,
+    }
+    kernel = ops[op]
+    return lambda ds: ds.map_batches(
+        lambda t: t.filter(kernel(t[col], val)), batch_format="pyarrow"
+    )
+
+
+# encoders -----------------------------------------------------------------
+
+
+@register("encoder", "json")
+def _enc_json(o):
+    from ..stages.encode import encode_json
+
+    return lambda ds: ds.map_batches(
+        lambda t: encode_json(t, columns=o.get("columns"), pretty=o.get("pretty", False)),
+        batch_format="pyarrow",
+    )
+
+
+@register("encoder", "csv")
+def _enc_csv(o):
+    from ..stages.encode import encode_csv
+
+    return lambda ds: ds.map_batches(
+        lambda t: encode_csv(t, columns=o.get("columns")), batch_format="pyarrow"
+    )
+
+
+@register("encoder", "format")
+def _enc_format(o):
+    from ..stages.encode import encode_format
+
+    return lambda ds: ds.map_batches(
+        lambda t: encode_format(t, o["template"], ts_col=o.get("ts_col", "ts")),
+        batch_format="pyarrow",
+    )
+
+
+@register("encoder", "base64")
+def _enc_b64(o):
+    from ..stages.encode import encode_base64
+
+    return lambda ds: ds.map_batches(
+        lambda t: encode_base64(t, o.get("column", "payload")), batch_format="pyarrow"
+    )
+
+
+# outputs ------------------------------------------------------------------
+
+
+@register("output", "parquet")
+def _out_parquet(o):
+    return lambda ds: (ds.write_parquet(o["path"]), o["path"])[1]
+
+
+@register("output", "json")
+def _out_json(o):
+    return lambda ds: (ds.write_json(o["path"]), o["path"])[1]
+
+
+@register("output", "csv")
+def _out_csv(o):
+    return lambda ds: (ds.write_csv(o["path"]), o["path"])[1]
+
+
+@register("output", "stdout")
+def _out_stdout(o):
+    # debug sink (reference: src/outputs/stdout.js, debug.js)
+    def fn(ds):
+        for row in ds.take(o.get("limit", 20)):
+            print(row)
+        return None
+
+    return fn
+
+
+@register("output", "blackhole")
+def _out_blackhole(o):
+    # consume-and-discard benchmark sink (reference: src/outputs/blackhole.js)
+    return lambda ds: ds.count()
+
+
+@register("output", "dataset")
+def _out_dataset(o):
+    return lambda ds: ds
+
+
+# --------------------------------------------------------------- pipeline
+
+
+@dataclass
+class PipelineConfig:
+    name: str
+    input: dict
+    decoder: dict = field(default_factory=lambda: {"use": "noop"})
+    pipeline: dict = field(default_factory=lambda: {"use": "noop"})
+    encoder: dict = field(default_factory=lambda: {"use": "noop"})
+    output: dict = field(default_factory=lambda: {"use": "dataset"})
+
+    @classmethod
+    def from_yaml(cls, path: str) -> "PipelineConfig":
+        import yaml
+
+        with open(path) as fh:
+            raw = fh.read()
+        return cls.from_dict(yaml.safe_load(interpolate_env(raw)))
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "PipelineConfig":
+        return cls(
+            name=d.get("name", "pipeline"),
+            input=d["input"],
+            decoder=d.get("decoder", {"use": "noop"}),
+            pipeline=d.get("pipeline", {"use": "noop"}),
+            encoder=d.get("encoder", {"use": "noop"}),
+            output=d.get("output", {"use": "dataset"}),
+        )
+
+
+def _resolve(kind: str, section: dict) -> Callable:
+    use = section.get("use", "noop")
+    try:
+        factory = REGISTRY[kind][use]
+    except KeyError:
+        raise KeyError(f"no {kind} plugin named {use!r}; registered: "
+                       f"{sorted(REGISTRY[kind])}") from None
+    return factory(section.get("options", {}) or {})
+
+
+def build(cfg: PipelineConfig):
+    """Compile the six-stage chain into one lazy callable; run() executes.
+
+    Stage order mirrors processor.load() wiring
+    (input→decoder→pipeline→encoder→output, src/core/processor.js:79-84);
+    the queue stage has no analogue — Ray Data's streaming executor provides
+    the buffering/backpressure it existed for (SURVEY.md §4.2).
+    """
+    source = _resolve("input", cfg.input)
+    stages = [
+        _resolve("decoder", cfg.decoder),
+        _resolve("pipeline", cfg.pipeline),
+        _resolve("encoder", cfg.encoder),
+    ]
+    sink = _resolve("output", cfg.output)
+
+    def run():
+        ds = source()
+        for stage in stages:
+            ds = stage(ds)
+        return sink(ds)
+
+    return run

@@ -28,8 +28,14 @@ import pyarrow.compute as pc
 import ray.data
 
 from .. import schema as S
+from ..sources.jsonl import write_jsonl
 from ..stages.aggregate import hour_floor, sink_counts
-from ..stages.enrich import lookup_enrich, seq_number, seq_number_salted
+from ..stages.enrich import (
+    lookup_enrich,
+    seq_number,
+    seq_number_local,
+    seq_number_salted,
+)
 from ..stages.parse import parse
 from ..stages.route import assign_sink_tag, branch, broadcast_branch
 from ..stages.transcriptify import transcriptify
@@ -61,10 +67,21 @@ def enrich_route(
     parsed: "ray.data.Dataset",
     conv_meta: pa.Table,
     skew_aware: bool = False,
+    assume_partitioned: bool = False,
 ) -> "ray.data.Dataset":
-    """parsed → enriched+routed dataset (schema.ENRICHED + audit flag)."""
+    """parsed → enriched+routed dataset (schema.ENRICHED + audit flag).
+
+    ``assume_partitioned=True`` ⇒ input blocks are conv-aligned (key-sharded
+    files): sequence numbering runs block-local with no shuffle (the
+    10^12-turn plan; see enrich.seq_number_local for the contract).
+    """
     ds = lookup_enrich(parsed, conv_meta, key="conv_id")
-    seq = seq_number_salted if skew_aware else seq_number
+    if assume_partitioned:
+        seq = seq_number_local
+    elif skew_aware:
+        seq = seq_number_salted
+    else:
+        seq = seq_number
     ds = seq(ds, key="conv_id", order_col="turn_idx", out_col="seq_in_conv")
     ds = ds.map_batches(_add_hour, batch_format="pyarrow", zero_copy_batch=True)
     return ds.map_batches(assign_sink_tag, batch_format="pyarrow", zero_copy_batch=True)
@@ -75,13 +92,17 @@ def run(
     conv_meta: pa.Table,
     out_dir: str | None = None,
     skew_aware: bool = False,
+    assume_partitioned: bool = False,
 ) -> dict:
     """Execute the full DAG; optionally write the four sinks under out_dir.
 
     Returns {"routed": Dataset, "counts": Dataset, "sinks": {tag: path|Dataset}}.
     """
     parsed = parse(transcripts)
-    routed = enrich_route(parsed, conv_meta, skew_aware=skew_aware)
+    routed = enrich_route(
+        parsed, conv_meta, skew_aware=skew_aware,
+        assume_partitioned=assume_partitioned,
+    )
     if out_dir is not None:
         # fan-out: materialize once so the 4 sink branches don't recompute
         routed = routed.materialize()
@@ -97,7 +118,9 @@ def run(
     audit = broadcast_branch(routed)
     if out_dir is not None:
         path = os.path.join(out_dir, f"sink={S.AUDIT_SINK}")
-        audit.drop_columns(["hour"]).write_json(path)
+        # vectorized JSONL sink — Dataset.write_json is row-level and ~13×
+        # slower on wide text rows
+        write_jsonl(audit.drop_columns(["hour"]), path)
         sinks[S.AUDIT_SINK] = path
     else:
         sinks[S.AUDIT_SINK] = audit

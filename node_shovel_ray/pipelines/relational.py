@@ -1,0 +1,160 @@
+"""Relational operator coverage over the TPC-H-ish testdata tables.
+
+The reference has no data-level relational ops (SURVEY.md §2.7 — it is a row
+shuttle); these are the promoted operators the rebuild adds, each built
+Ray-Data-first and oracle-checked against DuckDB SQL in __ray_entry__:
+
+- grouped aggregation (partial-friendly Sum/Count/Mean)
+- broadcast hash join (small dimension side via ray.put, no shuffle)
+- global top-k (sort + limit)
+- distinct
+- windowed sessionization (gap-based, per-key map_groups)
+- filtered vectorized projection
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from ..stages.enrich import lookup_enrich
+
+
+def _round2(arr):
+    """round(x, 2) with DuckDB semantics (half away from zero, not half-even)."""
+    return pc.round(arr, 2, round_mode="half_towards_infinity")
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> "rd.Dataset":
+    # prune at the read: only requested columns leave storage
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+def agg_pricing_summary(sf_dir: str) -> "rd.Dataset":
+    """TPC-H Q1-shaped grouped aggregate over lineitem."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def revenue(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))
+        return t.append_column("revenue", rev)
+
+    ds = ds.map_batches(revenue, batch_format="pyarrow", zero_copy_batch=True)
+    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Sum("revenue", alias_name="sum_revenue"),
+        Count(alias_name="n"),
+    )
+
+    def rounded(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.schema.get_field_index("sum_qty"), "sum_qty", _round2(t["sum_qty"])
+        ).set_column(
+            t.schema.get_field_index("sum_revenue"),
+            "sum_revenue",
+            _round2(t["sum_revenue"]),
+        )
+
+    return out.map_batches(rounded, batch_format="pyarrow")
+
+
+def join_orders_customers(sf_dir: str) -> "rd.Dataset":
+    """orders ⋈ customer via broadcast lookup (dimension side ray.put once),
+    then grouped count+sum per customer market segment."""
+    cust = (
+        _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+        .to_pandas()
+    )
+    lookup = pa.table(
+        {
+            "o_custkey": pa.array(cust["c_custkey"], pa.int64()),
+            "c_mktsegment": pa.array(cust["c_mktsegment"], pa.string()),
+        }
+    )
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    joined = lookup_enrich(orders, lookup, key="o_custkey", concurrency=(1, 4))
+    out = joined.groupby("c_mktsegment").aggregate(
+        Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total")
+    )
+    return out.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("total"), "total", _round2(t["total"])
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def topk_orders(sf_dir: str, k: int = 10) -> "rd.Dataset":
+    """Global top-k by price (deterministic tiebreak on orderkey)."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, True]).limit(k)
+
+
+def distinct_event_types(sf_dir: str) -> pa.Table:
+    vals = sorted(_read(sf_dir, "events", ["event_type"]).unique("event_type"))
+    return pa.table({"event_type": pa.array(vals, pa.string())})
+
+
+def sessionize(sf_dir: str, gap_minutes: int = 30) -> "rd.Dataset":
+    """Gap-based session numbering per user — the windowed-aggregate shape
+    (stream idiom: partition by key, sort by ts within partition)."""
+    from ..stages.keyed import keyed_map_blocks
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def per_block(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        d = df.groupby("user_id", sort=False)["ts"].diff()
+        new = (d > gap) | d.isna()
+        df["session_idx"] = (
+            new.groupby(df["user_id"], sort=False).cumsum().astype("int64") - 1
+        )
+        return df[["event_id", "user_id", "session_idx"]]
+
+    return keyed_map_blocks(ds, ["user_id"], per_block)
+
+
+def filter_project_revenue(sf_dir: str, cutoff: str = "1997-01-01") -> "rd.Dataset":
+    """Vectorized filter + computed projection (decoder→UDF map shape)."""
+    ds = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"]
+    )
+
+    def fn(t: pa.Table) -> pa.Table:
+        keep = pc.less(t["l_shipdate"], pa.scalar(np.datetime64(cutoff, "us")))
+        t = t.filter(keep)
+        rev = _round2(
+            pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))
+        )
+        return pa.table(
+            {"l_orderkey": t["l_orderkey"], "revenue": rev}
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def union_event_extremes(sf_dir: str) -> "rd.Dataset":
+    """Set op: union of two filtered views (high-value ∪ error events)."""
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    hi = ev.map_batches(
+        lambda t: t.filter(pc.greater(t["value"], 180.0)), batch_format="pyarrow"
+    )
+    err = ev.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "error")), batch_format="pyarrow"
+    )
+    u = hi.union(err)
+    # distinct on event_id (a row can satisfy both predicates)
+    from ..stages.keyed import first_per_key_block, keyed_map_blocks
+
+    return keyed_map_blocks(u, ["event_id"], first_per_key_block(["event_id"]))

@@ -88,22 +88,25 @@ def transcriptify_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def _number_turns(g: pd.DataFrame) -> pd.DataFrame:
-    """Per-conversation 0-based turn numbering by event_id order."""
-    g = g.sort_values("event_id", kind="mergesort")
-    g["turn_idx"] = np.arange(len(g), dtype=np.int32)
-    return g
+def _number_block(df: pd.DataFrame) -> pd.DataFrame:
+    """Turn numbering for every conversation in a hash block at once."""
+    df = df.sort_values(["conv_id", "event_id"], kind="mergesort")
+    df["turn_idx"] = df.groupby("conv_id", sort=False).cumcount().astype("int32")
+    return df
 
 
 def transcriptify(events: "ray.data.Dataset") -> "ray.data.Dataset":
     """events Dataset → transcript Dataset (schema.TRANSCRIPTS).
 
     Per-row columns are a stateless vectorized map; ``turn_idx`` needs keyed
-    co-location → one hash shuffle on ``conv_id`` (the same key every later
-    keyed stage reuses, per SURVEY.md §7.4).
+    co-location → one hash-partition exchange on ``conv_id`` (the same key
+    every later keyed stage reuses, per SURVEY.md §7.4), then one vectorized
+    rank per block.
     """
+    from .keyed import keyed_map_blocks
+
     ds = events.map_batches(
         transcriptify_batch, batch_format="pyarrow", zero_copy_batch=True
     )
-    ds = ds.groupby("conv_id").map_groups(_number_turns, batch_format="pandas")
+    ds = keyed_map_blocks(ds, ["conv_id"], _number_block)
     return ds.select_columns(["conv_id", "turn_idx", "role", "text", "tool", "ts"])

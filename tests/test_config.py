@@ -1,0 +1,107 @@
+"""Pipeline-config contract tests — mirrors the reference's config suite:
+YAML load, env interpolation with/without defaults
+(tests/core/pipeline_config.js:78-120), unknown-plugin failure path
+(tests/core/node.js:68-81)."""
+
+import os
+
+import pytest
+
+from node_shovel_ray.pipelines.config import (
+    PipelineConfig,
+    build,
+    interpolate_env,
+    register,
+)
+
+
+def test_env_interpolation(monkeypatch):
+    monkeypatch.setenv("NSR_TEST_VAR", "hello")
+    assert interpolate_env("x-${NSR_TEST_VAR}-y") == "x-hello-y"
+    assert interpolate_env("${NSR_UNSET_VAR:fallback}") == "fallback"
+    monkeypatch.setenv("NSR_TEST_VAR", "set")
+    assert interpolate_env("${NSR_TEST_VAR:fallback}") == "set"
+    with pytest.raises(KeyError):
+        interpolate_env("${NSR_UNSET_VAR}")
+
+
+def test_unknown_plugin_raises():
+    cfg = PipelineConfig.from_dict(
+        {"name": "p", "input": {"use": "parquet", "options": {"path": "x"}},
+         "decoder": {"use": "nope"}}
+    )
+    with pytest.raises(KeyError, match="no decoder plugin named 'nope'"):
+        build(cfg)
+
+
+def test_yaml_pipeline_end_to_end(tmp_path, monkeypatch):
+    monkeypatch.setenv("NSR_SF", "/root/testdata/sf0.001")
+    yml = tmp_path / "p.yaml"
+    yml.write_text(
+        """
+name: transcript-parse
+input:
+  use: parquet
+  options: {path: "${NSR_SF}/events.parquet"}
+decoder:
+  use: transcriptify
+pipeline:
+  use: parse
+encoder:
+  use: format
+  options: {template: "{conv_id}@{YYYY}-{MM}-{DD}"}
+output:
+  use: dataset
+"""
+    )
+    run = build(PipelineConfig.from_yaml(str(yml)))
+    out = run().to_pandas()
+    assert len(out) == 1000
+    assert {"parsed_tool", "error_code", "parse_ok", "payload"} <= set(out.columns)
+    assert out["payload"].str.match(r"conv-\d{8}@\d{4}-\d{2}-\d{2}").all()
+
+
+def test_custom_stage_registration():
+    @register("pipeline", "add_constant")
+    def _factory(o):
+        import pyarrow as pa
+
+        def stage(ds):
+            return ds.map_batches(
+                lambda t: t.append_column("k", pa.array([o["k"]] * len(t))),
+                batch_format="pyarrow",
+            )
+
+        return stage
+
+    cfg = PipelineConfig.from_dict(
+        {
+            "name": "c",
+            "input": {"use": "items", "options": {"items": [{"a": 1}, {"a": 2}]}},
+            "pipeline": {"use": "add_constant", "options": {"k": 7}},
+        }
+    )
+    out = build(cfg)().to_pandas()
+    assert out["k"].tolist() == [7, 7]
+
+
+def test_blackhole_and_parquet_outputs(tmp_path):
+    cfg = PipelineConfig.from_dict(
+        {
+            "name": "b",
+            "input": {"use": "items", "options": {"items": [{"a": i} for i in range(5)]}},
+            "output": {"use": "blackhole"},
+        }
+    )
+    assert build(cfg)() == 5
+    cfg2 = PipelineConfig.from_dict(
+        {
+            "name": "w",
+            "input": {"use": "items", "options": {"items": [{"a": 1}]}},
+            "output": {"use": "parquet", "options": {"path": str(tmp_path / "o")}},
+        }
+    )
+    path = build(cfg2)()
+    import glob
+
+    assert glob.glob(os.path.join(path, "*.parquet"))

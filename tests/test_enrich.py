@@ -44,6 +44,29 @@ def test_seq_number_shuffled_input():
     assert (out["seq_in_conv"] == out["turn_idx"]).all()
 
 
+def test_seq_number_local_on_sharded_fixture(tiny_fixture):
+    # fixture files are conv-sharded → local (shuffle-free) numbering must
+    # equal the keyed-exchange result
+    from node_shovel_ray.sources.partitioned import read_partitioned_parquet
+    from node_shovel_ray.stages.enrich import seq_number_local
+
+    tdir = f"{tiny_fixture}/transcripts"
+    ds = read_partitioned_parquet(tdir, columns=["conv_id", "turn_idx"])
+    local = (
+        seq_number_local(ds)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    shuffled = (
+        seq_number(read_partitioned_parquet(tdir, columns=["conv_id", "turn_idx"]))
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert (local["seq_in_conv"].to_numpy() == shuffled["seq_in_conv"].to_numpy()).all()
+
+
 def test_seq_number_salted_equals_plain(tiny_tables):
     t, _ = tiny_tables
     ds = rd.from_arrow(t.select(["conv_id", "turn_idx"]))
