@@ -6,10 +6,12 @@ Prints ONE JSON line:
    "turns": T, "turns_per_sec": ...}
 
 Headline = the flagship parse→enrich→route→aggregate DAG over a cached
-seeded synthetic transcript table (~1.5M turns, ~1.8 GB of text), written as
-64 conv-interleaved parquet shards — large enough that fixed overheads
-amortize at 32 CPUs. Side queries cover the other operator families over
-$GRAFT_SF_DIR (default /root/testdata/sf0.1).
+seeded synthetic transcript table (~6M turns, ~7 GB of text), written as 256
+conv-sharded parquet files (file-aligned blocks → the shuffle-free
+partitioned plan). Timed twice per session: cold (worker/actor spin-up)
+and warm — the warm number is the headline. Sinks land on tmpfs because on
+a real cluster sink bandwidth scales with nodes. Side queries cover the
+other operator families over $GRAFT_SF_DIR (default /root/testdata/sf0.1).
 
 --scaling: run the headline twice in fresh processes (num_cpus=8 then 32)
 on the same input and report both throughputs + scaling efficiency —
@@ -27,13 +29,13 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_DIR = os.environ.get("NSR_BENCH_DIR", "/tmp/nsr_bench")
-BENCH_CONVS = int(os.environ.get("NSR_BENCH_CONVS", "20000"))  # ~1.5M turns
+BENCH_CONVS = int(os.environ.get("NSR_BENCH_CONVS", "80000"))  # ~6M turns
 
 
 def _ensure_fixture() -> str:
     from node_shovel_ray.gen import write_fixture
 
-    return write_fixture(BENCH_DIR, n_convs=BENCH_CONVS, seed=42, n_files=64)
+    return write_fixture(BENCH_DIR, n_convs=BENCH_CONVS, seed=42, n_files=256)
 
 
 def _flagship(sink_dir: str) -> int:
@@ -130,7 +132,10 @@ def run_once() -> dict:
 
     import shutil
 
-    sink_dir = f"/tmp/nsr_bench_out_{NUM_CPUS}"
+    # sinks on tmpfs: on a real cluster sink bandwidth scales with nodes;
+    # single-node disk would be the one artificially non-scaling resource
+    sink_base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    sink_dir = f"{sink_base}/nsr_bench_out_{NUM_CPUS}"
     shutil.rmtree(sink_dir, ignore_errors=True)
 
     # warm page cache so we measure compute+shuffle, not first disk read
@@ -144,11 +149,17 @@ def run_once() -> dict:
         zero_copy_batch=True,
     ).count()
 
+    # cold run spins up workers/actor pools; warm run measures the engine.
+    t0 = time.monotonic()
+    turns = _flagship(sink_dir)
+    cold = time.monotonic() - t0
+    shutil.rmtree(sink_dir, ignore_errors=True)
     t0 = time.monotonic()
     turns = _flagship(sink_dir)
     headline = time.monotonic() - t0
+    shutil.rmtree(sink_dir, ignore_errors=True)
 
-    queries = {"flagship": round(headline, 3)}
+    queries = {"flagship": round(headline, 3), "flagship_cold": round(cold, 3)}
     if os.environ.get("NSR_SKIP_SIDE") != "1":
         queries.update(_side_queries())
 

@@ -43,6 +43,9 @@ def render_template(batch: pa.Table, template: str, ts_col: str = "ts") -> pa.Ar
     n = len(batch)
     ts = batch[ts_col] if ts_col in batch.column_names else None
     if ts is not None:
+        t = ts.type
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            ts = pc.cast(ts, pa.timestamp("us"))  # ISO strings → timestamps
         # second precision: Arrow's strftime %S appends subseconds otherwise
         ts = pc.cast(pc.floor_temporal(ts, unit="second"), pa.timestamp("s"))
     for m in _TOKEN_RE.finditer(template):

@@ -27,6 +27,10 @@ ROLES = np.array(["user", "assistant", "tool"])
 TENANTS = np.array([f"tenant-{i}" for i in range(10)])
 CHANNELS = np.array(["api", "web", "cli"])
 
+# span size for chunked generation: ~77 turns/conv x ~1.1 KB text must stay
+# under Arrow's 2 GiB single-array limit
+_SPAN = 12_000
+
 _LOREM = (
     "log pipeline shovel message queue batch stream parse route enrich "
     "aggregate sink source decode encode worker master ack nack retry "
@@ -54,11 +58,41 @@ def gen_transcripts(
     FIXTURES.md §1.1; ~1% of rows are regex-hostile (unclosed tool tag,
     embedded newline, non-ASCII) and must be flagged, not thrown
     (reference reject contract: src/core/node.js:461-466).
+
+    Generated in spans of ≤12k convs (chunked arrays): a bench-scale text
+    column would overflow Arrow's 2 GiB single-array offset limit.
     """
-    rng = np.random.default_rng(seed)
+    if n_convs > _SPAN:
+        spans = [
+            _gen_span(k0, min(_SPAN, n_convs - k0), seed)
+            for k0 in range(0, n_convs, _SPAN)
+        ]
+        transcripts = pa.concat_tables(spans)
+    else:
+        transcripts = _gen_span(0, n_convs, seed)
+    return transcripts, gen_conv_meta(n_convs)
+
+
+def gen_conv_meta(n_convs: int) -> pa.Table:
+    """Deterministic conv-level lookup (FIXTURES.md §2) — pure formulas."""
+    ks = np.arange(n_convs, dtype=np.int64)
+    return pa.table(
+        {
+            "conv_id": pa.array([f"conv-{k:08d}" for k in ks], pa.string()),
+            "tenant": pa.array(TENANTS[(ks * 7) % 10], pa.string()),
+            "channel": pa.array(CHANNELS[ks % 3], pa.string()),
+            "priority": pa.array((ks * 13) % 4, pa.int32()),
+        },
+        schema=S.CONV_META,
+    )
+
+
+def _gen_span(k0: int, n_convs: int, seed: int) -> pa.Table:
+    """Transcript rows for convs [k0, k0+n_convs); deterministic per span."""
+    rng = np.random.default_rng([seed, k0])
     lens = np.clip(rng.zipf(1.2, size=n_convs), 1, 200).astype(np.int64)
     total = int(lens.sum())
-    conv_k = np.repeat(np.arange(n_convs, dtype=np.int64), lens)
+    conv_k = np.repeat(np.arange(k0, k0 + n_convs, dtype=np.int64), lens)
     starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
     turn_idx = (np.arange(total, dtype=np.int64) - np.repeat(starts, lens)).astype(
         np.int32
@@ -122,7 +156,7 @@ def gen_transcripts(
         1_000_000, "us"
     )
 
-    transcripts = pa.table(
+    return pa.table(
         {
             "conv_id": pc.cast(conv_id, pa.string()),
             "turn_idx": pa.array(turn_idx, pa.int32()),
@@ -134,53 +168,56 @@ def gen_transcripts(
         schema=S.TRANSCRIPTS,
     )
 
-    ks = np.arange(n_convs, dtype=np.int64)
-    conv_meta = pa.table(
-        {
-            "conv_id": pa.array(
-                [f"conv-{k:08d}" for k in ks], pa.string()
-            ),
-            "tenant": pa.array(TENANTS[(ks * 7) % 10], pa.string()),
-            "channel": pa.array(CHANNELS[ks % 3], pa.string()),
-            "priority": pa.array((ks * 13) % 4, pa.int32()),
-        },
-        schema=S.CONV_META,
-    )
-    return transcripts, conv_meta
-
 
 def write_fixture(
     out_dir: str, n_convs: int = 100, seed: int = 42, n_files: int = 8
 ) -> str:
-    """Write transcripts.parquet shards + conv_meta.parquet under out_dir.
+    """Write conv-sharded transcript parquet + conv_meta.parquet under out_dir.
 
     Shard f holds convs with ``k % n_files == f`` (interleaved ranges), rows
-    sorted by (conv_id, turn_idx) within each file — FIXTURES.md §1. Skips
-    work if the directory was already fully written (marker file), so bench
-    runs reuse the cached fixture.
+    sorted by (conv_id, turn_idx) within each file — FIXTURES.md §1. Large
+    fixtures are generated and written span-by-span (≤12k convs in memory at
+    once), producing files ``part-<shard>-<span>.parquet``; every file still
+    contains only whole conversations, so file-aligned reads keep keys
+    together. Skips work if already written (marker file) so bench runs
+    reuse the cached fixture.
     """
     marker = os.path.join(out_dir, f"_done-{n_convs}-{seed}-{n_files}")
     if os.path.exists(marker):
         return out_dir
+    # stale fixture from a different config → wipe, or shards would mix
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(os.path.join(out_dir, "transcripts"), exist_ok=True)
-    t, meta = gen_transcripts(n_convs, seed)
-    conv_k = pa.compute.cast(
-        pa.compute.utf8_replace_slice(t["conv_id"], 0, 5, ""), pa.int64()
-    )
-    shard = pa.compute.cast(
-        pa.compute.subtract(
-            conv_k, pa.compute.multiply(pa.compute.divide(conv_k, n_files), n_files)
-        ),
-        pa.int64(),
-    )
-    t2 = t.append_column("_shard", shard)
-    for f in range(n_files):
-        part = t2.filter(pa.compute.equal(t2["_shard"], f)).drop(["_shard"])
-        part = part.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
-        pq.write_table(
-            part, os.path.join(out_dir, "transcripts", f"part-{f:05d}.parquet")
+    for k0 in range(0, n_convs, _SPAN):
+        t = _gen_span(k0, min(_SPAN, n_convs - k0), seed)
+        conv_k = pa.compute.cast(
+            pa.compute.utf8_replace_slice(t["conv_id"], 0, 5, ""), pa.int64()
         )
-    pq.write_table(meta, os.path.join(out_dir, "conv_meta.parquet"))
+        shard = pa.compute.subtract(
+            conv_k, pa.compute.multiply(pa.compute.divide(conv_k, n_files), n_files)
+        )
+        t2 = t.append_column("_shard", pa.compute.cast(shard, pa.int64()))
+        # one sort per span, then zero-copy slices per shard (n_files
+        # filters would re-scan the span per file)
+        t2 = t2.sort_by(
+            [("_shard", "ascending"), ("conv_id", "ascending"), ("turn_idx", "ascending")]
+        )
+        shard_np = t2["_shard"].to_numpy()
+        bounds = np.searchsorted(shard_np, np.arange(n_files + 1))
+        for f in range(n_files):
+            lo, hi = int(bounds[f]), int(bounds[f + 1])
+            if lo == hi:
+                continue
+            part = t2.slice(lo, hi - lo).drop(["_shard"])
+            pq.write_table(
+                part,
+                os.path.join(
+                    out_dir, "transcripts", f"part-{f:05d}-{k0:08d}.parquet"
+                ),
+            )
+    pq.write_table(gen_conv_meta(n_convs), os.path.join(out_dir, "conv_meta.parquet"))
     with open(marker, "w") as fh:
         fh.write("ok")
     return out_dir

@@ -150,6 +150,27 @@ def _dec_transcriptify(o):
     return transcriptify
 
 
+@register("decoder", "syslog")
+def _dec_syslog(o):
+    from ..stages.parse import parse_syslog_batch
+
+    col = o.get("column", "text")
+    return lambda ds: ds.map_batches(
+        lambda t: parse_syslog_batch(t, column=col), batch_format="pyarrow"
+    )
+
+
+@register("decoder", "multiline")
+def _dec_multiline(o):
+    from ..stages.decode import group_multiline
+
+    col = o.get("column", "text")
+    return lambda ds: ds.map_batches(
+        lambda t: group_multiline(t, column=col), batch_format="pyarrow",
+        batch_size=None,
+    )
+
+
 # pipeline (UDF) stages ----------------------------------------------------
 
 
@@ -277,6 +298,28 @@ def _out_stdout(o):
 def _out_blackhole(o):
     # consume-and-discard benchmark sink (reference: src/outputs/blackhole.js)
     return lambda ds: ds.count()
+
+
+@register("output", "jsonl")
+def _out_jsonl(o):
+    from ..sources.jsonl import write_jsonl
+
+    return lambda ds: (write_jsonl(ds, o["path"], columns=o.get("columns")),
+                       o["path"])[1]
+
+
+@register("output", "partitioned_parquet")
+def _out_partitioned(o):
+    # templated time-partitioned routing — the ES index-template analogue
+    from ..stages.encode import write_time_partitioned
+
+    return lambda ds: write_time_partitioned(
+        ds,
+        o["path"],
+        ts_col=o.get("ts_col", "ts"),
+        granularity=o.get("granularity", "day"),
+        partition_template=o.get("template"),
+    )
 
 
 @register("output", "dataset")

@@ -103,6 +103,17 @@ def run(
         parsed, conv_meta, skew_aware=skew_aware,
         assume_partitioned=assume_partitioned,
     )
+    if out_dir is not None and assume_partitioned:
+        # single-pass sinks: route + write all 4 sinks + pre-aggregate counts
+        # in one scan — no materialize, no per-branch re-reads
+        from ..stages.sink import multi_sink_write
+
+        counts = multi_sink_write(routed, out_dir)
+        sinks = {
+            tag: os.path.join(out_dir, f"sink={tag}")
+            for tag in (*S.SINKS, S.AUDIT_SINK)
+        }
+        return {"routed": routed, "counts": counts, "sinks": sinks}
     if out_dir is not None:
         # fan-out: materialize once so the 4 sink branches don't recompute
         routed = routed.materialize()

@@ -62,6 +62,33 @@ def encode_base64(batch: pa.Table, column: str, out: str = "payload") -> pa.Tabl
     return batch.append_column(out, pa.array(vals, pa.string()))
 
 
+def write_time_partitioned(
+    ds, base_dir: str, ts_col: str = "ts", granularity: str = "day",
+    partition_template: str | None = None,
+):
+    """Time-partitioned parquet sink — the reference's per-message templated
+    index/topic routing (``audit-{YYYY}-{MM}`` — src/outputs/elasticsearch.js:203-211,
+    src/outputs/amqp.js:71-88) as Hive-style partition directories.
+
+    A ``_part`` column is rendered per row from ``partition_template``
+    (default ``{YYYY}-{MM}`` or ``{YYYY}-{MM}-{DD}``) and used as the
+    partition column, so each time bucket lands in its own directory —
+    resumable, prunable layout.
+    """
+    tpl = partition_template or (
+        "{YYYY}-{MM}" if granularity == "month" else "{YYYY}-{MM}-{DD}"
+    )
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_part", render_template(batch, tpl, ts_col=ts_col)
+        )
+
+    tagged = ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+    tagged.write_parquet(base_dir, partition_cols=["_part"])
+    return base_dir
+
+
 def encode_format(
     batch: pa.Table, template: str, out: str = "payload", ts_col: str = "ts"
 ) -> pa.Table:

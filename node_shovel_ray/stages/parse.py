@@ -75,3 +75,47 @@ def parse(ds: "ray.data.Dataset", batch_size: int = 32768) -> "ray.data.Dataset"
         parse_batch, batch_format="pyarrow", batch_size=batch_size,
         zero_copy_batch=True,
     )
+
+
+# RFC3164-ish syslog line, the reference syslog input's parse
+# (src/inputs/syslog.js:44-56 via nsyslog-parser) as one RE2 pass:
+#   <PRI>Mmm dd hh:mm:ss host prog[pid]: message
+RE_SYSLOG = (
+    r"^<(?P<pri>[0-9]{1,3})>"
+    r"(?P<sl_ts>[A-Z][a-z]{2} [ 0-9][0-9] [0-9]{2}:[0-9]{2}:[0-9]{2}) "
+    r"(?P<sl_host>[^ ]+) "
+    r"(?P<sl_prog>[^ \[:]+)(?:\[(?P<sl_pid>[0-9]+)\])?: "
+    r"(?P<sl_msg>.*)$"
+)
+
+
+def parse_syslog_batch(batch: pa.Table, column: str = "text") -> pa.Table:
+    """Syslog decode: parsed fields → columns (severity/facility derived from
+    PRI exactly as the reference exposes them as headers); unparseable rows
+    get nulls + parse_ok=false, never an exception."""
+    text = batch[column]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    st = pc.extract_regex(text, RE_SYSLOG)
+    ok = pc.is_valid(st)
+    pri = pc.cast(pc.struct_field(st, "pri"), pa.int32())
+    out = (
+        batch.append_column("pri", pri)
+        .append_column("severity", pc.bit_wise_and(pri, 7))
+        .append_column("facility", pc.shift_right(pri, 3))
+        .append_column("sl_ts", pc.struct_field(st, "sl_ts"))
+        .append_column("sl_host", pc.struct_field(st, "sl_host"))
+        .append_column("sl_prog", pc.struct_field(st, "sl_prog"))
+        # RE2 reports an unmatched optional group as "" — normalize to null
+        .append_column(
+            "sl_pid",
+            pc.if_else(
+                pc.equal(pc.fill_null(pc.struct_field(st, "sl_pid"), ""), ""),
+                pa.nulls(len(text), pa.string()),
+                pc.struct_field(st, "sl_pid"),
+            ),
+        )
+        .append_column("sl_msg", pc.struct_field(st, "sl_msg"))
+        .append_column("parse_ok", ok)
+    )
+    return out

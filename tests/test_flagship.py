@@ -83,6 +83,42 @@ def test_flagship_from_events_smoke():
     assert set(counts["sink_tag"]) >= {"errors", "tools", "chat"}
 
 
+def test_single_pass_partitioned_mode(tiny_fixture, tiny_tables, tmp_path):
+    """assume_partitioned single-pass sinks == oracle (conv-sharded input)."""
+    from node_shovel_ray.sources.partitioned import read_partitioned_parquet
+
+    t, meta = tiny_tables
+    oracle = run_oracle(t, meta)
+    ds = read_partitioned_parquet(os.path.join(tiny_fixture, "transcripts"))
+    res = flagship.run(ds, meta, out_dir=str(tmp_path), assume_partitioned=True)
+
+    got_counts = (
+        res["counts"].to_pandas()
+        .sort_values(["sink_tag", "role", "tool", "hour"]).reset_index(drop=True)
+    )
+    want_counts = (
+        oracle["counts"].astype({"n": "int64"})
+        .sort_values(["sink_tag", "role", "tool", "hour"])
+        .reset_index(drop=True)[got_counts.columns]
+    )
+    pd.testing.assert_frame_equal(got_counts, want_counts, check_dtype=False)
+
+    for tag in S.SINKS:
+        files = glob.glob(os.path.join(str(tmp_path), f"sink={tag}", "*.parquet"))
+        got = pd.concat([pq.read_table(f).to_pandas() for f in files])
+        assert _key_set(got) == _key_set(oracle["sinks"][tag]), tag
+        g = got.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+        w = oracle["sinks"][tag].sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+        assert g["text"].tolist() == w["text"].tolist(), tag
+        assert g["seq_in_conv"].tolist() == w["seq_in_conv"].tolist(), tag
+
+    rows = []
+    for f in glob.glob(os.path.join(str(tmp_path), "sink=audit", "*.jsonl")):
+        with open(f) as fh:
+            rows.extend(json.loads(line) for line in fh if line.strip())
+    assert _key_set(pd.DataFrame(rows)) == _key_set(oracle["sinks"]["audit"])
+
+
 def test_skew_aware_flagship_equal(tiny_tables):
     t, meta = tiny_tables
     a = flagship.run(rd.from_arrow(t), meta)["counts"].to_pandas()
