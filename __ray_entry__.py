@@ -113,6 +113,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs_docs": corpus.simhash_pairs_docs,
         "knn_vec0": corpus.knn_vec0,
         "knn_ivf_vec0": corpus.knn_ivf_vec0,
+        "embed_neardup": corpus.embed_neardup,
+        "embed_neardup_lsh": corpus.embed_neardup_lsh,
     }
 
 
@@ -191,8 +193,18 @@ def oracle_sql() -> dict[str, str]:
                    ) DESC, vec_id ASC
             LIMIT 10
         """,
+        "embed_neardup": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(list_cosine_similarity(
+                     CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])
+                   ), 4) AS sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(
+                    CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])
+                  ) >= 0.35
+        """,
         # quality_docs / langid_docs / fingerprint_docs / minhash_pairs_docs /
-        # simhash_pairs_docs / knn_ivf_vec0: heuristic or sketch-based, not
-        # SQL-expressible → rows-only check (pytest covers them vs python
-        # oracles at tiny scale).
+        # simhash_pairs_docs / knn_ivf_vec0 / embed_neardup_lsh: heuristic or
+        # sketch-based (recall<1 by design), not SQL-expressible → rows-only
+        # check (pytest covers them vs python oracles at tiny scale).
     }

@@ -98,6 +98,146 @@ def knn_brute_force(
     return out
 
 
+class _PairFinder:
+    """Actor-pool stage: cosine pairs of one batch vs the broadcast corpus."""
+
+    def __init__(self, corpus_ref, threshold: float, id_col: str, vec_col: str):
+        ids, mat = ray.get(corpus_ref)  # fetched once per actor
+        self.ids = ids
+        self.mat = mat  # already L2-normalized float64
+        self.threshold = threshold
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        bids = batch[self.id_col].to_numpy()
+        m = _norm(_to_matrix(batch[self.vec_col]))
+        sims = m @ self.mat.T  # (nb, N)
+        bi, cj = np.nonzero(sims >= self.threshold)
+        a, b, s = bids[bi], self.ids[cj], sims[bi, cj]
+        keep = a < b  # dedup (a,b)/(b,a) and self-pairs
+        return pa.table(
+            {
+                "vec_a": pa.array(a[keep], pa.int64()),
+                "vec_b": pa.array(b[keep], pa.int64()),
+                "sim": pa.array(s[keep], pa.float64()),
+            }
+        )
+
+
+def cosine_pairs_bruteforce(
+    ds: "ray.data.Dataset",
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    concurrency=None,
+) -> "ray.data.Dataset":
+    """Embedding-cosine near-duplicate pairs, exact (each-batch × broadcast
+    corpus GEMM). The broadcast matrix is ``ray.put`` once (N×d float64 —
+    viable to ~1M×64 = 0.5 GB); beyond that use :func:`cosine_pairs_lsh`.
+    """
+    from ..stages.keyed import default_pool
+
+    corpus = ds.select_columns([id_col, vec_col]).to_pandas()
+    ids = corpus[id_col].to_numpy()
+    mat = _norm(np.stack(corpus[vec_col].to_numpy()).astype(np.float64))
+    ref = ray.put((ids, mat))
+    return ds.select_columns([id_col, vec_col]).map_batches(
+        _PairFinder,
+        fn_constructor_args=(ref, threshold, id_col, vec_col),
+        batch_format="pyarrow",
+        concurrency=concurrency or default_pool(),
+    )
+
+
+def cosine_pairs_lsh(
+    ds: "ray.data.Dataset",
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 12,
+    n_tables: int = 4,
+    seed: int = 42,
+    max_bucket: int = 1000,
+    concurrency=None,
+) -> "ray.data.Dataset":
+    """Embedding near-dup pairs via random-hyperplane LSH (the scale path).
+
+    ``n_tables`` independent sign-hash tables of ``n_planes`` bits each; a
+    pair collides in a table with prob ``(1 - θ/π)^n_planes`` — near-dups
+    (small angle) almost surely share a bucket in ≥1 table. Per-table
+    shuffle key = (table, bucket); in-bucket pairwise cosine is capped at
+    ``max_bucket`` rows (boilerplate guard), then pairs are deduped across
+    tables and verified against ``threshold``.
+    """
+    import pandas as pd
+
+    from ..stages.keyed import default_pool, first_per_key_block, keyed_map_blocks
+
+    rng = np.random.default_rng(seed)
+    d = len(ds.select_columns([vec_col]).take(1)[0][vec_col])
+    planes = rng.standard_normal((n_tables, n_planes, d))
+    pref = ray.put(planes)
+
+    class Bucketize:
+        def __init__(self):
+            self.planes = ray.get(pref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch[id_col].to_numpy()
+            m = _norm(_to_matrix(batch[vec_col]))
+            outs = []
+            for t in range(n_tables):
+                signs = (m @ self.planes[t].T) > 0  # (n, n_planes)
+                buck = signs @ (1 << np.arange(n_planes))
+                outs.append(
+                    pa.table(
+                        {
+                            id_col: pa.array(ids),
+                            "table": pa.array(np.full(len(ids), t, np.int32)),
+                            "bucket": pa.array(buck.astype(np.int64)),
+                            "vec": pa.array(list(m), pa.list_(pa.float64())),
+                        }
+                    )
+                )
+            return pa.concat_tables(outs)
+
+    bands = ds.select_columns([id_col, vec_col]).map_batches(
+        Bucketize, batch_format="pyarrow", concurrency=concurrency or default_pool()
+    )
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_s = [], [], []
+        for _, g in df.groupby(["table", "bucket"], sort=False):
+            if len(g) < 2:
+                continue
+            g = g.sort_values(id_col).head(max_bucket)
+            ids = g[id_col].to_numpy()
+            m = np.stack(g["vec"].to_numpy())
+            sims = m @ m.T
+            ia, ib = np.triu_indices(len(ids), k=1)
+            s = sims[ia, ib]
+            keep = s >= threshold
+            out_a.append(ids[ia][keep])
+            out_b.append(ids[ib][keep])
+            out_s.append(s[keep])
+        if not out_a:
+            return pd.DataFrame(
+                {"vec_a": pd.Series([], dtype="int64"),
+                 "vec_b": pd.Series([], dtype="int64"),
+                 "sim": pd.Series([], dtype="float64")}
+            )
+        return pd.DataFrame(
+            {"vec_a": np.concatenate(out_a), "vec_b": np.concatenate(out_b),
+             "sim": np.concatenate(out_s)}
+        )
+
+    pairs = keyed_map_blocks(bands, ["table", "bucket"], bucket_pairs)
+    return keyed_map_blocks(
+        pairs, ["vec_a", "vec_b"], first_per_key_block(["vec_a", "vec_b"])
+    )
+
+
 def _kmeans(x: np.ndarray, n_clusters: int, iters: int = 10, seed: int = 42) -> np.ndarray:
     rng = np.random.default_rng(seed)
     cent = x[rng.choice(len(x), size=min(n_clusters, len(x)), replace=False)]

@@ -338,6 +338,11 @@ class PipelineConfig:
     pipeline: dict = field(default_factory=lambda: {"use": "noop"})
     encoder: dict = field(default_factory=lambda: {"use": "noop"})
     output: dict = field(default_factory=lambda: {"use": "dataset"})
+    # multi-output fan-out (reference: src/outputs/pipeline.js:4-30):
+    # outputs + mode broadcast (every sink gets all rows) | fanout
+    # (rows round-robin split across sinks, src/core/master.js:214-224)
+    outputs: list[dict] | None = None
+    mode: str = "broadcast"
 
     @classmethod
     def from_yaml(cls, path: str) -> "PipelineConfig":
@@ -356,10 +361,17 @@ class PipelineConfig:
             pipeline=d.get("pipeline", {"use": "noop"}),
             encoder=d.get("encoder", {"use": "noop"}),
             output=d.get("output", {"use": "dataset"}),
+            outputs=d.get("outputs"),
+            mode=d.get("mode", "broadcast"),
         )
 
 
 def _resolve(kind: str, section: dict) -> Callable:
+    if not isinstance(section, dict):
+        raise TypeError(
+            f"{kind} section must be a mapping with a 'use:' key, got "
+            f"{type(section).__name__}: {section!r}"
+        )
     use = section.get("use", "noop")
     try:
         factory = REGISTRY[kind][use]
@@ -383,12 +395,56 @@ def build(cfg: PipelineConfig):
         _resolve("pipeline", cfg.pipeline),
         _resolve("encoder", cfg.encoder),
     ]
-    sink = _resolve("output", cfg.output)
+    multi = [_resolve("output", o) for o in cfg.outputs] if cfg.outputs else None
+    sink = _resolve("output", cfg.output) if not multi else None
 
     def run():
         ds = source()
         for stage in stages:
             ds = stage(ds)
-        return sink(ds)
+        if multi is None:
+            return sink(ds)
+        # multi-output: materialize once so sinks don't recompute upstream
+        # (SURVEY.md §7.5 fan-out-without-recompute)
+        if cfg.mode == "fanout":
+            # per-row content-hash assignment: complete (no rows dropped —
+            # Dataset.split(equal=True) drops the remainder) and fair
+            # independent of block layout; shovel fanout is round-robin
+            # delivery of every message (master.js:214-224)
+            import hashlib
+
+            import numpy as np
+            import pyarrow as pa_
+
+            n = len(multi)
+
+            def tag(t: pa_.Table) -> pa_.Table:
+                # round-robin within the block (exact fairness even under
+                # key skew), block offset derived from content so multiple
+                # small blocks don't all start at sink 0
+                if len(t) == 0:
+                    start = 0
+                else:
+                    first = str(t.column(0)[0].as_py())
+                    start = int(
+                        hashlib.sha1(f"{first}-{len(t)}".encode()).hexdigest()[:8],
+                        16,
+                    ) % n
+                fan = (np.arange(len(t), dtype=np.int64) + start) % n
+                return t.append_column("_fan", pa_.array(fan))
+
+            tagged = ds.map_batches(tag, batch_format="pyarrow").materialize()
+            outs = []
+            for i, s in enumerate(multi):
+                part = tagged.map_batches(
+                    lambda t, i=i: t.filter(
+                        pa_.compute.equal(t["_fan"], i)
+                    ).drop(["_fan"]),
+                    batch_format="pyarrow",
+                )
+                outs.append(s(part))
+            return outs
+        mat = ds.materialize()
+        return [s(mat) for s in multi]
 
     return run

@@ -72,6 +72,37 @@ def simhash_pairs_docs(sf_dir: str) -> "rd.Dataset":
     )
 
 
+def embed_neardup(sf_dir: str, threshold: float = 0.35) -> pa.Table:
+    """Embedding-cosine near-dup pairs (brute-force exactness baseline)."""
+    from ..functions.similarity import cosine_pairs_bruteforce
+
+    got = cosine_pairs_bruteforce(
+        rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet")),
+        threshold=threshold,
+    ).to_pandas()
+    got = got.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+    return pa.table(
+        {
+            "vec_a": pa.array(got["vec_a"], pa.int64()),
+            "vec_b": pa.array(got["vec_b"], pa.int64()),
+            "sim": pa.compute.round(
+                pa.array(got["sim"], pa.float64()), 4,
+                round_mode="half_towards_infinity",
+            ),
+        }
+    )
+
+
+def embed_neardup_lsh(sf_dir: str, threshold: float = 0.35) -> "rd.Dataset":
+    """LSH-bucketed variant (the 100 TB path; recall < 1 by design)."""
+    from ..functions.similarity import cosine_pairs_lsh
+
+    return cosine_pairs_lsh(
+        rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet")),
+        threshold=threshold,
+    )
+
+
 def _query_vec(sf_dir: str) -> np.ndarray:
     t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
     q = t.filter(pa.compute.equal(t["vec_id"], 0))["embedding"].to_pylist()[0]

@@ -54,7 +54,8 @@ def parse_batch(batch: pa.Table) -> pa.Table:
     has_open = pc.match_substring(text, "<tool:")
     wellformed = pc.match_substring_regex(text, RE_TOOL_WELLFORMED)
     bad_tool = pc.and_(has_open, pc.invert(wellformed))
-    ok = pc.invert(pc.or_(has_nl, bad_tool))
+    # null text → parse_ok=false (reject), mirroring the throw→reject contract
+    ok = pc.fill_null(pc.invert(pc.or_(has_nl, bad_tool)), False)
 
     nulls = pa.nulls(len(text), pa.string())
     tool = pc.if_else(ok, tool, nulls)

@@ -85,6 +85,44 @@ def test_custom_stage_registration():
     assert out["k"].tolist() == [7, 7]
 
 
+def test_multi_output_broadcast_and_fanout(tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    base = {
+        "name": "m",
+        "input": {"use": "items", "options": {"items": [{"a": i} for i in range(10)]}},
+        "outputs": [
+            {"use": "parquet", "options": {"path": str(tmp_path / "s1")}},
+            {"use": "parquet", "options": {"path": str(tmp_path / "s2")}},
+        ],
+    }
+    # broadcast: both sinks receive all 10 rows (src/outputs/pipeline.js)
+    build(PipelineConfig.from_dict(base))()
+    for s in ("s1", "s2"):
+        n = sum(pq.read_table(f).num_rows
+                for f in glob.glob(str(tmp_path / s / "*.parquet")))
+        assert n == 10, s
+
+    # fanout: every row delivered exactly once, hash-balanced across sinks
+    # (master.js:214-224 round-robin completeness semantics)
+    base2 = dict(base, mode="fanout", outputs=[
+        {"use": "parquet", "options": {"path": str(tmp_path / "f1")}},
+        {"use": "parquet", "options": {"path": str(tmp_path / "f2")}},
+    ])
+    build(PipelineConfig.from_dict(base2))()
+    rows = {}
+    for s in ("f1", "f2"):
+        vals = []
+        for f in glob.glob(str(tmp_path / s / "*.parquet")):
+            vals += pq.read_table(f)["a"].to_pylist()
+        rows[s] = vals
+    assert sorted(rows["f1"] + rows["f2"]) == list(range(10))  # complete
+    assert not (set(rows["f1"]) & set(rows["f2"]))  # disjoint
+    assert rows["f1"] and rows["f2"]  # both sinks used
+
+
 def test_blackhole_and_parquet_outputs(tmp_path):
     cfg = PipelineConfig.from_dict(
         {
