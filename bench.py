@@ -82,6 +82,13 @@ def _side_queries() -> dict[str, float]:
         )["counts"].to_pandas(),
     )
     timed(
+        "transcript_dag_skew_salted",
+        lambda: flagship.from_events(
+            rd.read_parquet(os.path.join(SF_DIR, "events.parquet")),
+            skew_aware=True,
+        )["counts"].to_pandas(),
+    )
+    timed(
         "dedup_exact_docs",
         lambda: dedup_exact_counts(
             rd.read_parquet(os.path.join(SF_DIR, "documents.parquet"))

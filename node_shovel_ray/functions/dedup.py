@@ -24,27 +24,9 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import pyarrow.compute as pc
-
 import ray.data
 
 _MERSENNE = (1 << 61) - 1
-
-
-def _stable_u64(strings: pa.Array) -> np.ndarray:
-    """Deterministic 64-bit content hash per string (FNV-1a, vectorized)."""
-    # pyarrow has no content-hash kernel; FNV over bytes via numpy per row is
-    # still C-speed for realistic doc sizes using np.frombuffer per row.
-    out = np.empty(len(strings), dtype=np.uint64)
-    for i, s in enumerate(strings.to_pylist()):
-        b = (s or "").encode("utf-8")
-        h = np.uint64(0xCBF29CE484222325)
-        arr = np.frombuffer(b, dtype=np.uint8)
-        for chunk in np.array_split(arr, max(1, len(arr) // 4096)):
-            for byte in chunk:
-                h = np.uint64((int(h) ^ int(byte)) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
-        out[i] = h
-    return out
 
 
 def add_content_hash(batch: pa.Table, column: str = "text", out: str = "content_hash") -> pa.Table:
