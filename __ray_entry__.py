@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_orders": relational.topk_orders,
         "distinct_event_types": relational.distinct_event_types,
         "sessionize": relational.sessionize,
+        "asof_join": relational.asof_join_events_orders,
         "filter_project": relational.filter_project_revenue,
         "union_extremes": relational.union_event_extremes,
         # training-data corpus ops
@@ -159,6 +160,13 @@ def oracle_sql() -> dict[str, str]:
               CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_idx
             FROM s
+        """,
+        "asof_join": """
+            SELECT e.event_id, e.user_id,
+                   round(o.o_totalprice, 2) AS last_order_price
+            FROM events e
+            ASOF LEFT JOIN orders o
+              ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
         """,
         "filter_project": """
             SELECT l_orderkey,

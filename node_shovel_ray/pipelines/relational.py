@@ -144,6 +144,82 @@ def filter_project_revenue(sf_dir: str, cutoff: str = "1997-01-01") -> "rd.Datas
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def asof_join_events_orders(sf_dir: str) -> "rd.Dataset":
+    """As-of join: each event matched to the latest order of the same
+    customer at-or-before the event time — an operator Ray Data lacks,
+    composed as hash-bucket co-location + ``pd.merge_asof`` per bucket
+    (partitioning assumption: both sides bucketed on the same key hash).
+
+    Scale shape: both sides shuffle ONCE on the join key; per-bucket work is
+    a sorted merge (O(n log n) in the bucket). Oracle: DuckDB ASOF JOIN.
+    """
+    from ..stages.keyed import _add_bucket, default_num_blocks
+
+    nb = default_num_blocks()
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"]).map_batches(
+        lambda t: _add_bucket(["user_id"], nb)(t).append_column(
+            "_side", pa.array(np.zeros(len(t), np.int8))
+        ),
+        batch_format="pyarrow",
+    )
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice", "o_orderdate"])
+
+    def order_cols(t: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "event_id": pa.nulls(len(t), pa.int64()),
+                "user_id": t["o_custkey"],
+                "ts": t["o_orderdate"],
+                "o_totalprice": t["o_totalprice"],
+            }
+        )
+        return _add_bucket(["user_id"], nb)(t).append_column(
+            "_side", pa.array(np.ones(len(t), np.int8))
+        )
+
+    orders_n = orders.map_batches(order_cols, batch_format="pyarrow")
+    ev_n = ev.map_batches(
+        lambda t: t.append_column(
+            "o_totalprice", pa.nulls(len(t), pa.float64())
+        ).select(["event_id", "user_id", "ts", "o_totalprice", "_bucket", "_side"]),
+        batch_format="pyarrow",
+    )
+    both = ev_n.union(orders_n.select_columns(
+        ["event_id", "user_id", "ts", "o_totalprice", "_bucket", "_side"]
+    ))
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        left = df[df["_side"] == 0][["event_id", "user_id", "ts"]]
+        right = df[df["_side"] == 1][["user_id", "ts", "o_totalprice"]]
+        if not len(left):
+            return pd.DataFrame(
+                {"event_id": pd.Series([], dtype="int64"),
+                 "user_id": pd.Series([], dtype="int64"),
+                 "last_order_price": pd.Series([], dtype="float64")}
+            )
+        left = left.sort_values("ts", kind="mergesort")
+        right = right.sort_values("ts", kind="mergesort")
+        m = pd.merge_asof(
+            left, right, on="ts", by="user_id", direction="backward",
+            allow_exact_matches=True,
+        )
+        out = m[["event_id", "user_id", "o_totalprice"]].rename(
+            columns={"o_totalprice": "last_order_price"}
+        )
+        # the union carries null event_id on the orders side → pandas made
+        # the column float64; restore int64 for the events rows
+        out["event_id"] = out["event_id"].astype("int64")
+        out["last_order_price"] = out["last_order_price"].round(2)
+        return out
+
+    from ..stages.keyed import keyed_map_blocks
+
+    # rows already carry _bucket; group on it directly (one exchange)
+    return both.groupby("_bucket").map_groups(
+        lambda g: per_bucket(g.drop(columns=["_bucket"])), batch_format="pandas"
+    )
+
+
 def union_event_extremes(sf_dir: str) -> "rd.Dataset":
     """Set op: union of two filtered views (high-value ∪ error events)."""
     ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])

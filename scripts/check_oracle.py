@@ -94,6 +94,7 @@ def main():
         eq = mine.equals(ref)
         if not eq:
             # locate first mismatching cell for debugging
+            found = False
             for c in mine.columns:
                 a, b = mine[c], ref[c]
                 neq = ~((a == b) | (a.isna() & b.isna()))
@@ -102,7 +103,14 @@ def main():
                     print(
                         f"FAIL {name}: col {c} row {i}: mine={a.iloc[i]!r} oracle={b.iloc[i]!r}"
                     )
+                    found = True
                     break
+            if not found:
+                print(
+                    f"FAIL {name}: values equal but dtypes differ: "
+                    f"mine={dict(mine.dtypes.astype(str))} "
+                    f"oracle={dict(ref.dtypes.astype(str))}"
+                )
             failed.append(name)
         else:
             print(f"PASS {name}: rows={len(mine)}")
