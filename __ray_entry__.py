@@ -42,6 +42,36 @@ def _routed(sf_dir: str) -> "rd.Dataset":
     return flagship.enrich_route(parse(transcriptify(ev)), meta)
 
 
+def _q_window_tumbling(sf_dir: str):
+    import pyarrow.compute as pc
+
+    from node_shovel_ray.stages.window import tumbling_aggregate
+
+    out = tumbling_aggregate(
+        _events(sf_dir), keys=["event_type"], ts_col="ts", size_s=3600,
+        value_col="value",
+    )
+
+    def rounded(t):
+        for c in ("sum_value", "min_value", "max_value"):
+            t = t.set_column(
+                t.schema.get_field_index(c), c,
+                pc.round(t[c], 2, round_mode="half_towards_infinity"),
+            )
+        return t
+
+    return out.map_batches(rounded, batch_format="pyarrow")
+
+
+def _q_window_sliding(sf_dir: str):
+    from node_shovel_ray.stages.window import sliding_count
+
+    return sliding_count(
+        _events(sf_dir), keys=["event_type"], ts_col="ts",
+        size_s=3600, step_s=900,
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001: full DAG → sink counts."""
     ev = _events("/root/testdata/sf0.001")
@@ -104,6 +134,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": relational.asof_join_events_orders,
         "filter_project": relational.filter_project_revenue,
         "union_extremes": relational.union_event_extremes,
+        # windowed aggregates (streaming-window family, batch-first)
+        "window_tumbling": _q_window_tumbling,
+        "window_sliding": _q_window_sliding,
         # training-data corpus ops
         "dedup_exact_docs": corpus.dedup_exact_docs,
         "token_stats_docs": corpus.token_stats_docs,
@@ -176,6 +209,26 @@ def oracle_sql() -> dict[str, str]:
         "union_extremes": """
             SELECT event_id, event_type, value FROM events
             WHERE value > 180.0 OR event_type = 'error'
+        """,
+        "window_tumbling": """
+            SELECT event_type, date_trunc('hour', ts) AS window,
+                   count(*) AS n,
+                   round(sum(value), 2) AS sum_value,
+                   round(min(value), 2) AS min_value,
+                   round(max(value), 2) AS max_value
+            FROM events GROUP BY 1, 2
+        """,
+        "window_sliding": """
+            WITH shifted AS (
+              SELECT event_type,
+                     make_timestamp(
+                       (epoch_us(ts) // 900000000) * 900000000
+                       - CAST(i AS BIGINT) * 900000000
+                     ) AS "window"
+              FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) t
+            )
+            SELECT event_type, "window", count(*) AS n
+            FROM shifted GROUP BY 1, 2
         """,
         "dedup_exact_docs": """
             SELECT text, min(doc_id) AS keep_id, count(*) AS n_dups
