@@ -132,6 +132,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_event_types": relational.distinct_event_types,
         "sessionize": relational.sessionize,
         "asof_join": relational.asof_join_events_orders,
+        "grouped_topk_hours": relational.grouped_topk_hours,
+        "distinct_users_per_type": relational.distinct_users_per_type,
         "filter_project": relational.filter_project_revenue,
         "union_extremes": relational.union_event_extremes,
         # windowed aggregates (streaming-window family, batch-first)
@@ -193,6 +195,21 @@ def oracle_sql() -> dict[str, str]:
               CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_idx
             FROM s
+        """,
+        "grouped_topk_hours": """
+            WITH hourly AS (
+              SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
+              FROM events GROUP BY 1, 2
+            ), ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY event_type ORDER BY n DESC, hour ASC) AS r
+              FROM hourly
+            )
+            SELECT event_type, hour, n FROM ranked WHERE r <= 3
+        """,
+        "distinct_users_per_type": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY 1
         """,
         "asof_join": """
             SELECT e.event_id, e.user_id,

@@ -144,6 +144,51 @@ def filter_project_revenue(sf_dir: str, cutoff: str = "1997-01-01") -> "rd.Datas
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def grouped_topk_hours(sf_dir: str, k: int = 3) -> "rd.Dataset":
+    """Per-key top-k: the 3 busiest hours per event_type (count desc,
+    hour asc tiebreak). Keyed stage → hash-bucket block processing; the
+    aggregate before it shrinks the data to (type, hour) rows first."""
+    from ray.data.aggregate import Count
+
+    from ..stages.keyed import keyed_map_blocks
+
+    ev = _read(sf_dir, "events", ["event_type", "ts"]).map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("ts"), "ts",
+            pc.cast(pc.floor_temporal(t["ts"], unit="hour"), pa.timestamp("us")),
+        ),
+        batch_format="pyarrow",
+    )
+    hourly = ev.groupby(["event_type", "ts"]).aggregate(Count(alias_name="n"))
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["event_type", "n", "ts"],
+                            ascending=[True, False, True], kind="mergesort")
+        return df.groupby("event_type", sort=False).head(k)
+
+    out = keyed_map_blocks(hourly, ["event_type"], topk)
+    return out.map_batches(
+        lambda t: t.rename_columns(["event_type", "hour", "n"]),
+        batch_format="pyarrow",
+    )
+
+
+def distinct_users_per_type(sf_dir: str) -> "rd.Dataset":
+    """Exact count-distinct per group: two-stage — distinct (type, user)
+    pairs via keyed first-per-key (shuffle carries deduped pairs only),
+    then a count per type."""
+    from ray.data.aggregate import Count
+
+    from ..stages.keyed import first_per_key_block, keyed_map_blocks
+
+    pairs = _read(sf_dir, "events", ["event_type", "user_id"])
+    dedup = keyed_map_blocks(
+        pairs, ["event_type", "user_id"],
+        first_per_key_block(["event_type", "user_id"]),
+    )
+    return dedup.groupby("event_type").aggregate(Count(alias_name="n_users"))
+
+
 def asof_join_events_orders(sf_dir: str) -> "rd.Dataset":
     """As-of join: each event matched to the latest order of the same
     customer at-or-before the event time — an operator Ray Data lacks,

@@ -182,6 +182,74 @@ def group_multiline(
     return pa.table({column: pa.array(out_rows, pa.string())})
 
 
+def split_delimited(
+    batch: pa.Table, column: str = "payload", out: str = "record"
+) -> pa.Table:
+    """Varint length-delimited framing: each binary blob → N record rows
+    (flat-map). This is the *real* mechanics of the reference's protobuf
+    delimited mode (src/decoders/protobuf.js:111-140, which carries a
+    remainder buffer across messages); batch-side there is no remainder —
+    a blob is framed completely or its tail is emitted as a truncated-row
+    marker (``ok=false``) instead of throwing. Only the per-record body
+    decode needs a protobuf runtime (see ProtobufDecoder)."""
+    srcs, recs, idxs, oks = [], [], [], []
+    for row_i, blob in enumerate(batch[column].to_pylist()):
+        if blob is None:
+            continue
+        pos, rec_i, n = 0, 0, len(blob)
+        while pos < n:
+            # read varint length
+            shift = length = 0
+            ok = False
+            start = pos
+            while pos < n:
+                b = blob[pos]
+                length |= (b & 0x7F) << shift
+                pos += 1
+                if not (b & 0x80):
+                    ok = True
+                    break
+                shift += 7
+                if shift > 63:
+                    break
+            if not ok or pos + length > n:
+                srcs.append(row_i)
+                idxs.append(rec_i)
+                recs.append(blob[start:])
+                oks.append(False)
+                break
+            recs.append(blob[pos : pos + length])
+            srcs.append(row_i)
+            idxs.append(rec_i)
+            oks.append(True)
+            pos += length
+            rec_i += 1
+    return pa.table(
+        {
+            "src_row": pa.array(srcs, pa.int64()),
+            "rec_idx": pa.array(idxs, pa.int32()),
+            out: pa.array(recs, pa.binary()),
+            "ok": pa.array(oks, pa.bool_()),
+        }
+    )
+
+
+def write_delimited(records: list[bytes]) -> bytes:
+    """Inverse framing (the encoder's delimited concat,
+    src/encoders/protobuf.js:54-68)."""
+    out = bytearray()
+    for r in records:
+        n = len(r)
+        while True:
+            b = n & 0x7F
+            n >>= 7
+            out.append(b | (0x80 if n else 0))
+            if not n:
+                break
+        out += r
+    return bytes(out)
+
+
 class ProtobufDecoder:
     """Actor-pool protobuf decoder plumbing (src/decoders/protobuf.js:12-141).
 

@@ -76,6 +76,29 @@ def test_group_multiline():
     assert out["text"].to_pylist() == ["a\nb", "c", "d\ne"]
 
 
+def test_delimited_roundtrip():
+    # the protobuf delimited mode's real framing (src/decoders/protobuf.js:111-140)
+    from node_shovel_ray.stages.decode import split_delimited, write_delimited
+
+    recs = [b"hello", b"", b"x" * 300, b"\x00\x01\x02"]
+    blob = write_delimited(recs)
+    out = split_delimited(
+        pa.table({"payload": pa.array([blob, None], pa.binary())})
+    )
+    assert out["record"].to_pylist() == recs
+    assert out["ok"].to_pylist() == [True] * 4
+    assert out["rec_idx"].to_pylist() == [0, 1, 2, 3]
+
+
+def test_delimited_truncated_tail_flagged():
+    from node_shovel_ray.stages.decode import split_delimited, write_delimited
+
+    blob = write_delimited([b"good"]) + b"\x0aonly-part"  # claims 10, has 9
+    out = split_delimited(pa.table({"payload": pa.array([blob], pa.binary())}))
+    assert out["ok"].to_pylist() == [True, False]
+    assert out["record"][0].as_py() == b"good"
+
+
 def test_protobuf_stub_raises():
     dec = ProtobufDecoder("message T { int32 a = 1; }", delimited=True)
     with pytest.raises(NotImplementedError):
