@@ -47,9 +47,15 @@ def encode_csv(
     cols = columns or batch.column_names
     buf = io.StringIO()
     w = _csv.writer(buf, delimiter=delimiter, lineterminator="\n")
+    # Slice on the writer's record boundaries (buf.tell() after each row),
+    # not on physical lines: a quoted field may contain embedded newlines,
+    # so splitlines() would yield more lines than rows.
+    offsets = [0]
     for row in zip(*(batch[c].to_pylist() for c in cols)):
         w.writerow(row)
-    vals = buf.getvalue().splitlines()
+        offsets.append(buf.tell())
+    s = buf.getvalue()
+    vals = [s[a : b - 1] for a, b in zip(offsets, offsets[1:])]  # strip the \n
     return batch.append_column(out, pa.array(vals, pa.string()))
 
 

@@ -46,7 +46,9 @@ MEDIA_SCHEMA = pa.schema(
 
 def gen_media(n: int = 64, seed: int = 42, kind: str = "image") -> pa.Table:
     """Deterministic fake media table (seeded payload bytes + metadata)."""
-    rng = np.random.default_rng([seed, hash(kind) % (2**31)])
+    # per-kind seed must not use Python hash() (salted per process)
+    kind_seed = int.from_bytes(hashlib.sha256(kind.encode()).digest()[:4], "little")
+    rng = np.random.default_rng([seed, kind_seed])
     payloads, fmts, ws, hs, srs, durs = [], [], [], [], [], []
     for i in range(n):
         size = int(rng.integers(1024, 8192))

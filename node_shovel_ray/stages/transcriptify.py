@@ -47,6 +47,16 @@ def transcriptify_batch(batch: pa.Table) -> pa.Table:
     eid = batch["event_id"]
     props = batch["props"]
 
+    # Contract guard: Arrow utf8_lpad leaves over-length inputs unchanged
+    # while DuckDB lpad TRUNCATES to 8 chars, so user_id >= 10^8 would make
+    # the engine and the TRANSCRIPTIFY oracle CTE diverge (and the oracle
+    # side could collide conv_ids). Fail loudly instead of silently drifting.
+    if len(batch):
+        umax = pc.max(uid).as_py()
+        if umax is not None and umax >= 10**8:
+            raise ValueError(
+                f"transcriptify requires user_id < 10^8 (lpad width); got {umax}"
+            )
     conv_id = _concat("conv-", pc.utf8_lpad(pc.cast(uid, pa.string()), 8, "0"))
 
     is_signup = pc.equal(et, "signup")

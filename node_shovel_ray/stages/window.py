@@ -25,11 +25,18 @@ from ray.data.aggregate import Count, Max, Mean, Min, Sum
 def add_tumbling_window(
     batch: pa.Table, ts_col: str = "ts", size_s: int = 3600, out: str = "window"
 ) -> pa.Table:
-    """Epoch-aligned tumbling-window start column (timestamp[us])."""
-    us = pc.cast(batch[ts_col], pa.int64())
+    """Epoch-aligned tumbling-window start column (timestamp[us]).
+
+    Uses numpy floor division (not ``pc.divide``, which truncates toward
+    zero) so pre-epoch timestamps land in the correct window, matching the
+    flooring ``date_trunc`` oracle semantics.
+    """
     size_us = size_s * 1_000_000
-    start = pc.multiply(pc.divide(us, size_us), size_us)
-    return batch.append_column(out, pc.cast(start, pa.timestamp("us")))
+    us = pc.cast(batch[ts_col], pa.int64()).to_numpy(zero_copy_only=False)
+    start = (us // size_us) * size_us
+    return batch.append_column(
+        out, pa.array(start.astype("datetime64[us]"))
+    )
 
 
 def tumbling_aggregate(
