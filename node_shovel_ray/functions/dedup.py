@@ -216,35 +216,121 @@ def minhash_lsh_pairs(
     # dedup candidate pairs across bands (small vs corpus; keyed exchange)
     cand = keyed_map_blocks(
         cand, ["doc_a", "doc_b"], first_per_key_block(["doc_a", "doc_b"])
-    )
+    ).materialize()  # candidates are output-bounded (max_bucket cap) — tiny
 
-    # verify: join texts back via broadcast when small, else bucketed join.
+    # Verify by exact Jaccard WITHOUT ever materializing the corpus:
+    # 1. semi-join filter — broadcast the distinct candidate doc-id set
+    #    (O(#pairs) ints) and stream-filter the corpus down to candidate
+    #    texts only (no shuffle of the wide text rows);
+    # 2. two distributed keyed joins attach text_a / text_b onto the pair
+    #    rows (per-bucket memory is bounded by bucket size, never corpus).
     import ray
 
-    text_tbl = texts.to_pandas().set_index(id_col)[column].to_dict()
-    ref = ray.put(text_tbl)
+    ids = np.unique(
+        np.array(
+            list(cand.unique("doc_a")) + list(cand.unique("doc_b")), dtype=np.int64
+        )
+    )
+    ids_ref = ray.put(ids)
 
-    class Verify:
+    class FilterToCandidates:
         def __init__(self):
-            self.texts = ray.get(ref)
-            self.k = k
+            self.idset = pa.array(ray.get(ids_ref), pa.int64())
 
-        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            if not len(b):
-                b["jaccard"] = pd.Series([], dtype="float64")
-                return b
-            jac = []
-            for a_id, b_id in zip(b["doc_a"], b["doc_b"]):
-                sa = _shingles(self.texts.get(a_id, "").split(), self.k)
-                sb = _shingles(self.texts.get(b_id, "").split(), self.k)
-                inter = len(sa & sb)
-                union = len(sa | sb) or 1
-                jac.append(inter / union)
-            b = b.copy()
-            b["jaccard"] = jac
-            return b[b["jaccard"] >= threshold]
+        def __call__(self, t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
 
-    return cand.map_batches(Verify, batch_format="pandas", concurrency=concurrency)
+            return t.filter(pc.is_in(pc.cast(t[id_col], pa.int64()), value_set=self.idset))
+
+    cand_texts = texts.map_batches(
+        FilterToCandidates, batch_format="pyarrow", concurrency=concurrency
+    )
+
+    joined = _attach_text(cand, cand_texts, "doc_a", "_text_a", id_col, column)
+    joined = _attach_text(joined, cand_texts, "doc_b", "_text_b", id_col, column)
+
+    def verify(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame(
+                {"doc_a": pd.Series([], dtype="int64"),
+                 "doc_b": pd.Series([], dtype="int64"),
+                 "jaccard": pd.Series([], dtype="float64")}
+            )
+        jac = []
+        for ta, tb in zip(b["_text_a"], b["_text_b"]):
+            sa = _shingles((ta if isinstance(ta, str) else "").split(), k)
+            sb = _shingles((tb if isinstance(tb, str) else "").split(), k)
+            inter = len(sa & sb)
+            union = len(sa | sb) or 1
+            jac.append(inter / union)
+        b = b[["doc_a", "doc_b"]].copy()
+        b["jaccard"] = jac
+        return b[b["jaccard"] >= threshold]
+
+    return joined.map_batches(verify, batch_format="pandas")
+
+
+def _attach_text(
+    pairs: "ray.data.Dataset",
+    texts: "ray.data.Dataset",
+    key_col: str,
+    out_col: str,
+    id_col: str,
+    column: str,
+) -> "ray.data.Dataset":
+    """Distributed hash-join: attach ``texts[column]`` onto ``pairs`` rows by
+    ``pairs[key_col] == texts[id_col]``.
+
+    Union-then-bucket: both sides are normalized to one schema with a join
+    key and a side marker, hash-partitioned on the key (one keyed exchange
+    over candidate rows + candidate texts only), then merged per bucket with
+    a vectorized pandas map. Per-bucket memory is bounded by bucket size."""
+    from ..stages.keyed import keyed_map_blocks
+
+    carry = [c for c in pairs.schema().names]
+    text_carry = [c for c in carry if c.startswith("_text_")]
+    int_carry = [c for c in carry if c not in text_carry]
+
+    def norm_pairs(t: pa.Table) -> pa.Table:
+        cols: dict = {"_jk": pc_cast_i64(t[key_col])}
+        for c in int_carry:
+            cols[c] = pc_cast_i64(t[c])
+        for c in text_carry:
+            cols[c] = t[c]
+        cols["_txt"] = pa.nulls(len(t), pa.string())
+        cols["_side"] = pa.array(np.zeros(len(t), dtype=np.int8))
+        return pa.table(cols)
+
+    def norm_texts(t: pa.Table) -> pa.Table:
+        cols: dict = {"_jk": pc_cast_i64(t[id_col])}
+        for c in int_carry:
+            cols[c] = pa.nulls(len(t), pa.int64())
+        for c in text_carry:
+            cols[c] = pa.nulls(len(t), pa.string())
+        cols["_txt"] = t[column]
+        cols["_side"] = pa.array(np.ones(len(t), dtype=np.int8))
+        return pa.table(cols)
+
+    u = pairs.map_batches(norm_pairs, batch_format="pyarrow").union(
+        texts.map_batches(norm_texts, batch_format="pyarrow")
+    )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        is_txt = df["_side"] == 1
+        tmap = df.loc[is_txt].set_index("_jk")["_txt"]
+        out = df.loc[~is_txt, ["_jk", *carry]].copy()
+        out[out_col] = out["_jk"].map(tmap)
+        for c in int_carry:  # pandas floats int64 cols unioned with nulls
+            out[c] = out[c].astype("int64")
+        return out.drop(columns=["_jk"])
+
+    return keyed_map_blocks(u, ["_jk"], merge)
+
+
+def pc_cast_i64(col):
+    import pyarrow.compute as pc
+
+    return pc.cast(col, pa.int64())
 
 
 # ------------------------------------------------------------------- SimHash
