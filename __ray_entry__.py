@@ -281,8 +281,11 @@ def oracle_sql() -> dict[str, str]:
                     CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])
                   ) >= 0.35
         """,
-        # quality_docs / langid_docs / fingerprint_docs / minhash_pairs_docs /
-        # simhash_pairs_docs / knn_ivf_vec0 / embed_neardup_lsh: heuristic or
-        # sketch-based (recall<1 by design), not SQL-expressible → rows-only
-        # check (pytest covers them vs python oracles at tiny scale).
+        "quality_docs": Q.Q_QUALITY_DOCS,
+        "langid_docs": Q.Q_LANGID_DOCS,
+        # fingerprint_docs / minhash_pairs_docs / simhash_pairs_docs /
+        # knn_ivf_vec0 / embed_neardup_lsh: hash-sketch based (recall<1 or a
+        # hash function DuckDB cannot reproduce) → rows-only check here, but
+        # each asserts a python-oracle/recall bound internally (pytest +
+        # in-query recall guards, see pipelines/corpus.py).
     }

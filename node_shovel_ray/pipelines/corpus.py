@@ -37,11 +37,23 @@ def token_stats_docs(sf_dir: str) -> "rd.Dataset":
 
 
 def quality_docs(sf_dir: str) -> "rd.Dataset":
-    return (
+    out = (
         _docs(sf_dir, ["doc_id", "text"])
         .map_batches(QualityScore, batch_format="pandas", concurrency=default_pool())
         .select_columns(["doc_id", "n_words", "punct_ratio", "stop_ratio", "quality"])
     )
+
+    def rounded(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        for c in ("punct_ratio", "stop_ratio", "quality"):
+            t = t.set_column(
+                t.schema.get_field_index(c), c,
+                pc.round(t[c], 4, round_mode="half_towards_infinity"),
+            )
+        return t
+
+    return out.map_batches(rounded, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def langid_docs(sf_dir: str) -> "rd.Dataset":
@@ -60,10 +72,35 @@ def fingerprint_docs(sf_dir: str) -> "rd.Dataset":
     )
 
 
+# Sketch queries have no SQL oracle (hash functions DuckDB cannot reproduce
+# / recall<1 by design). To keep regressions catchable at the driver's gate
+# scale anyway, each asserts an internal invariant against an exact
+# computation — but only when the input is small (the guard must never run
+# the O(n²)/exact path at 100 TB).
+_GUARD_MAX_ROWS = 20_000
+
+
 def minhash_pairs_docs(sf_dir: str) -> "rd.Dataset":
-    return minhash_lsh_pairs(
+    out = minhash_lsh_pairs(
         _docs(sf_dir, ["doc_id", "text"]), threshold=0.5, concurrency=None
     )
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    if docs.count() <= _GUARD_MAX_ROWS:
+        # invariant: identical texts have identical signatures, so every
+        # exact-duplicate pair MUST appear (recall=1 on exact dups).
+        df = docs.to_pandas()
+        dup_pairs = set()
+        for _, g in df.groupby("text"):
+            ids = sorted(g["doc_id"])
+            dup_pairs.update(
+                (a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]
+            )
+        got = out.to_pandas()
+        found = set(zip(got["doc_a"], got["doc_b"]))
+        missing = dup_pairs - found
+        assert not missing, f"minhash missed exact-dup pairs: {sorted(missing)[:5]}"
+        return rd.from_pandas(got)
+    return out
 
 
 def simhash_pairs_docs(sf_dir: str) -> "rd.Dataset":
@@ -94,13 +131,37 @@ def embed_neardup(sf_dir: str, threshold: float = 0.35) -> pa.Table:
 
 
 def embed_neardup_lsh(sf_dir: str, threshold: float = 0.35) -> "rd.Dataset":
-    """LSH-bucketed variant (the 100 TB path; recall < 1 by design)."""
-    from ..functions.similarity import cosine_pairs_lsh
+    """LSH-bucketed variant (the 100 TB path; recall < 1 by design).
 
-    return cosine_pairs_lsh(
-        rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet")),
-        threshold=threshold,
-    )
+    Gate-scale guard: precision must be 1 (every returned pair is a true
+    ≥threshold pair) and recall on near-identical pairs (sim ≥ 0.9, the
+    regime LSH is tuned for) must be 1."""
+    from ..functions.similarity import _norm, cosine_pairs_lsh
+
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    out = cosine_pairs_lsh(emb, threshold=threshold)
+    if emb.count() <= _GUARD_MAX_ROWS:
+        import numpy as np
+
+        df = emb.to_pandas().sort_values("vec_id")
+        m = _norm(np.stack(df["embedding"].to_numpy()).astype(np.float64))
+        ids = df["vec_id"].to_numpy()
+        S = m @ m.T
+        iu, ju = np.triu_indices(len(ids), 1)
+        true_all = {
+            (int(ids[i]), int(ids[j]))
+            for i, j in zip(iu[S[iu, ju] >= threshold], ju[S[iu, ju] >= threshold])
+        }
+        strong = {
+            (int(ids[i]), int(ids[j]))
+            for i, j in zip(iu[S[iu, ju] >= 0.9], ju[S[iu, ju] >= 0.9])
+        }
+        got = out.to_pandas()
+        found = set(zip(got["vec_a"], got["vec_b"]))
+        assert found <= true_all, f"LSH false positives: {sorted(found - true_all)[:5]}"
+        assert strong <= found, f"LSH missed near-identical pairs: {sorted(strong - found)[:5]}"
+        return rd.from_pandas(got)
+    return out
 
 
 def _query_vec(sf_dir: str) -> np.ndarray:
@@ -129,14 +190,24 @@ def knn_vec0(sf_dir: str) -> pa.Table:
 
 
 def knn_ivf_vec0(sf_dir: str) -> pa.Table:
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
     got = knn_ivf(
-        rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet")),
+        emb,
         _query_vec(sf_dir),
         k=10,
         n_clusters=16,
         nprobe=6,
         concurrency=None,
     )
+    if emb.count() <= _GUARD_MAX_ROWS:
+        # gate-scale guard: IVF recall vs the exact answer ≥ 0.5 (the bound
+        # tests/test_similarity.py asserts) — catches quantizer regressions.
+        exact = knn_brute_force(
+            rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet")),
+            _query_vec(sf_dir), k=10, concurrency=None,
+        )
+        recall = len(set(got["vec_id"]) & set(exact["vec_id"])) / 10
+        assert recall >= 0.5, f"IVF recall {recall} < 0.5 vs exact top-10"
     return pa.table(
         {
             "vec_id": pa.array(got["vec_id"], pa.int64()),

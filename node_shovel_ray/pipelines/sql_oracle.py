@@ -123,3 +123,75 @@ Q_SINK_COUNTS = (
   FROM enriched WHERE audit GROUP BY 1, 2, 3, 4
 """
 )
+
+
+# ------------------------------------------------------- corpus text oracles
+# Generated from the SAME stopword profiles the engine uses
+# (functions/textstats._STOPWORDS) so the two twins cannot drift.
+
+def _sql_list(words) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+def _quality_docs_sql() -> str:
+    from ..functions.textstats import _STOPWORDS
+
+    en = _sql_list(sorted(_STOPWORDS["en"]))
+    return rf"""
+WITH w AS (
+  SELECT doc_id,
+    length(text) AS n_chars,
+    regexp_extract_all(text, '[a-zA-Z]+') AS words,
+    length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_punct
+  FROM documents
+), c AS (
+  SELECT doc_id,
+    CAST(len(words) AS BIGINT) AS n_words,
+    CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) AS punct_ratio,
+    CAST(len(list_filter(words, x -> list_contains({en}, lower(x)))) AS DOUBLE)
+      / greatest(1, len(words)) AS stop_ratio,
+    coalesce(list_avg(list_transform(words, x -> length(x))), 0.0) AS mean_word_len
+  FROM w
+)
+SELECT doc_id, n_words,
+  round(punct_ratio, 4) AS punct_ratio,
+  round(stop_ratio, 4) AS stop_ratio,
+  round(
+    0.4 * (least(greatest(stop_ratio, 0), 0.6) / 0.6)
+    + 0.3 * (1 - least(greatest(punct_ratio, 0), 0.5) / 0.5)
+    + 0.3 * ((least(greatest(mean_word_len, 2), 8) - 2) / 6), 4) AS quality
+FROM c
+"""
+
+
+def _langid_docs_sql() -> str:
+    from ..functions.textstats import _STOPWORDS
+
+    L = {k: _sql_list(sorted(v)) for k, v in _STOPWORDS.items()}
+    return rf"""
+WITH w AS (
+  SELECT doc_id,
+    list_transform(regexp_extract_all(text, '[a-zA-Zäöüéèêàáíóúñç]+'),
+                   x -> lower(x)) AS ws
+  FROM documents
+), s AS (
+  SELECT doc_id, len(ws) AS nw,
+    len(list_filter(ws, x -> list_contains({L['en']}, x))) AS s_en,
+    len(list_filter(ws, x -> list_contains({L['de']}, x))) AS s_de,
+    len(list_filter(ws, x -> list_contains({L['fr']}, x))) AS s_fr,
+    len(list_filter(ws, x -> list_contains({L['es']}, x))) AS s_es
+  FROM w
+)
+SELECT doc_id,
+  CASE WHEN nw = 0 THEN 'unknown'
+       WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 AND s_es = 0 THEN 'unknown'
+       WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+       WHEN s_fr >= s_es THEN 'fr'
+       ELSE 'es' END AS lang_pred
+FROM s
+"""
+
+
+Q_QUALITY_DOCS = _quality_docs_sql()
+Q_LANGID_DOCS = _langid_docs_sql()
