@@ -143,6 +143,16 @@ def _dec_b64(o):
     )
 
 
+@register("decoder", "msgpack")
+def _dec_msgpack(o):
+    from ..stages.decode import decode_msgpack
+
+    return lambda ds: ds.map_batches(
+        lambda t: decode_msgpack(t, column=o.get("column", "payload")),
+        batch_format="pyarrow",
+    )
+
+
 @register("decoder", "transcriptify")
 def _dec_transcriptify(o):
     from ..stages.transcriptify import transcriptify
@@ -243,6 +253,16 @@ def _enc_csv(o):
 
     return lambda ds: ds.map_batches(
         lambda t: encode_csv(t, columns=o.get("columns")), batch_format="pyarrow"
+    )
+
+
+@register("encoder", "msgpack")
+def _enc_msgpack(o):
+    from ..stages.encode import encode_msgpack
+
+    return lambda ds: ds.map_batches(
+        lambda t: encode_msgpack(t, columns=o.get("columns")),
+        batch_format="pyarrow",
     )
 
 

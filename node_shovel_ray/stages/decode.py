@@ -12,8 +12,8 @@ Plugins covered (reference file → function here):
 - json5-ish(src/decoders/json5.js:4-9)       → :func:`decode_json` (lenient=True)
 - csv      (src/decoders/csv.js:32-52)       → :func:`decode_csv`
 - base64   (src/decoders/base64.js:10-14)    → :func:`decode_base64`
-- msgpack  (src/decoders/msgpack.js:6-9)     → :func:`decode_msgpack` (stub if
-  the msgpack lib is absent in this environment)
+- msgpack  (src/decoders/msgpack.js:6-9)     → :func:`decode_msgpack`
+  (pure-Python public-spec wire codec, functions/msgpack_codec.py)
 - noop     (src/decoders/noop.js:2-6)        → identity / column rename
 - multiline(src/decoders/multiline.js:2-17)  → :func:`group_multiline`
 - protobuf (src/decoders/protobuf.js:12-141) → :class:`ProtobufDecoder` stub:
@@ -140,20 +140,30 @@ def decode_base64(batch: pa.Table, column: str = "text", out: str = "content") -
 def decode_msgpack(batch: pa.Table, column: str = "payload", out: str = "content") -> pa.Table:
     """msgpack bytes → canonical JSON string (src/decoders/msgpack.js:6-9).
 
-    The msgpack library is not in this container; gated behind import-try —
-    raises NotImplementedError when absent (Ray-side plumbing tested via the
-    other decoders which share the same shape).
+    Wire decode is the pure-Python public-spec implementation in
+    functions/msgpack_codec.py (no library needed). Binary payloads inside
+    the value are rendered as latin-1-escaped strings for the JSON view.
     """
-    try:
-        import msgpack  # type: ignore
-    except ImportError as e:  # pragma: no cover
-        raise NotImplementedError("msgpack library not available") from e
+    from ..functions.msgpack_codec import unpackb
+
+    def _jsonable(v):
+        if isinstance(v, bytes):
+            return v.decode("latin-1")
+        if isinstance(v, dict):
+            return {k: _jsonable(x) for k, x in v.items()}
+        if isinstance(v, (list, tuple)):
+            return [_jsonable(x) for x in v]
+        return v
+
     vals, oks = [], []
     for b in batch[column].to_pylist():
         try:
-            vals.append(json.dumps(msgpack.unpackb(b), sort_keys=True))
+            if b is None:
+                raise ValueError("null")
+            vals.append(json.dumps(_jsonable(unpackb(b)), sort_keys=True,
+                                   separators=(",", ":")))
             oks.append(True)
-        except Exception:
+        except (ValueError, TypeError, UnicodeDecodeError, OverflowError) as e:
             vals.append(None)
             oks.append(False)
     return batch.append_column(out, pa.array(vals, pa.string())).append_column(

@@ -59,6 +59,18 @@ def encode_csv(
     return batch.append_column(out, pa.array(vals, pa.string()))
 
 
+def encode_msgpack(
+    batch: pa.Table, columns: list[str] | None = None, out: str = "payload"
+) -> pa.Table:
+    """Rows → msgpack bytes, one map per row (src/encoders/msgpack.js:6-9);
+    pure-Python public-spec packer (functions/msgpack_codec.py)."""
+    from ..functions.msgpack_codec import packb
+
+    cols = columns or batch.column_names
+    vals = [packb(r) for r in batch.select(cols).to_pylist()]
+    return batch.append_column(out, pa.array(vals, pa.binary()))
+
+
 def encode_base64(batch: pa.Table, column: str, out: str = "payload") -> pa.Table:
     """string → base64 (src/encoders/base64.js:10-14), vectorized-ish."""
     vals = [
