@@ -153,6 +153,61 @@ def _dec_msgpack(o):
     )
 
 
+@register("decoder", "protobuf")
+def _dec_protobuf(o):
+    from ..stages.decode import ProtobufDecoder
+    from ..stages.keyed import default_pool
+
+    schema = o.get("proto_schema") or _read_proto(o)
+    return lambda ds: ds.map_batches(
+        ProtobufDecoder,
+        fn_constructor_kwargs=dict(
+            proto_schema=schema,
+            class_name=o["class_name"],
+            delimited=o.get("delimited", False),
+            content_type=o.get("content_type", "application/protobuf"),
+            column=o.get("column", "payload"),
+        ),
+        batch_format="pyarrow",
+        concurrency=default_pool(),
+    )
+
+
+@register("encoder", "protobuf")
+def _enc_protobuf(o):
+    from ..stages.decode import ProtobufEncoder
+    from ..stages.keyed import default_pool
+
+    schema = o.get("proto_schema") or _read_proto(o)
+    return lambda ds: ds.map_batches(
+        ProtobufEncoder,
+        fn_constructor_kwargs=dict(
+            proto_schema=schema,
+            class_name=o["class_name"],
+            delimited=o.get("delimited", False),
+            column=o.get("column", "content"),
+        ),
+        batch_format="pyarrow",
+        concurrency=default_pool(),
+    )
+
+
+def _read_proto(o) -> str:
+    """root_path + proto_path file loading, as the reference's onStart does
+    (src/decoders/protobuf.js:49-63); multiple files concatenate."""
+    import os
+
+    root = o.get("root_path")
+    if not root:
+        raise ValueError('Configuration "root_path" must be defined')
+    paths = o.get("proto_path") or []
+    if isinstance(paths, str):
+        paths = [paths]
+    return "\n".join(
+        open(os.path.join(root, p), encoding="utf-8").read() for p in paths
+    )
+
+
 @register("decoder", "transcriptify")
 def _dec_transcriptify(o):
     from ..stages.transcriptify import transcriptify

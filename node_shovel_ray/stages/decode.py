@@ -16,10 +16,9 @@ Plugins covered (reference file → function here):
   (pure-Python public-spec wire codec, functions/msgpack_codec.py)
 - noop     (src/decoders/noop.js:2-6)        → identity / column rename
 - multiline(src/decoders/multiline.js:2-17)  → :func:`group_multiline`
-- protobuf (src/decoders/protobuf.js:12-141) → :class:`ProtobufDecoder` stub:
-  the stateful actor-pool plumbing (compiled schema in __init__, delimited
-  flat-map) is real; the wire decode needs protobufjs-equivalent (absent) and
-  raises NotImplementedError.
+- protobuf (src/decoders/protobuf.js:12-141) → :class:`ProtobufDecoder` /
+  :class:`ProtobufEncoder`: schema compiled once per actor, pure-Python
+  wire codec (functions/proto_codec.py), delimited flat-map + JSON modes.
 """
 
 from __future__ import annotations
@@ -261,19 +260,109 @@ def write_delimited(records: list[bytes]) -> bytes:
 
 
 class ProtobufDecoder:
-    """Actor-pool protobuf decoder plumbing (src/decoders/protobuf.js:12-141).
+    """Actor-pool protobuf decoder (src/decoders/protobuf.js:12-141).
 
-    Real: stateful __init__ (schema compiled once per actor), delimited
-    flat-map shape (one input buffer → N rows). Stubbed: the wire decode —
-    no protobuf runtime is available in this container.
+    Stateful __init__ compiles the .proto schema once per actor (the
+    reference's onStart root.load); __call__ decodes each payload with the
+    pure-Python wire codec (functions/proto_codec.py). ``delimited=True``
+    flat-maps varint-length-delimited buffers into one row per record
+    (decodeDelimited, src/decoders/protobuf.js:111-140);
+    ``content_type="application/json"`` accepts JSON payloads like the
+    reference's fromObject path. Output: ``content`` = canonical JSON,
+    ``proto_class`` header column, ``decode_ok`` flag.
     """
 
-    def __init__(self, proto_schema: str, delimited: bool = False):
-        self.schema_src = proto_schema  # would compile once per actor
+    def __init__(
+        self,
+        proto_schema: str,
+        class_name: str,
+        delimited: bool = False,
+        content_type: str = "application/protobuf",
+        column: str = "payload",
+        out: str = "content",
+    ):
+        from ..functions.proto_codec import parse_proto
+
+        self.schema = parse_proto(proto_schema)
+        self.schema.lookup(class_name)  # fail fast, like onStart
+        self.class_name = class_name
         self.delimited = delimited
+        self.content_type = content_type
+        self.column = column
+        self.out = out
+
+    def _decode_one(self, raw: bytes) -> str:
+        from ..functions.proto_codec import decode_message
+
+        if self.content_type in ("text/json", "application/json"):
+            obj = json.loads(raw)
+        else:
+            obj = decode_message(self.schema, self.class_name, raw)
+        return json.dumps(obj, sort_keys=True, separators=(",", ":"))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        raise NotImplementedError(
-            "protobuf wire decode requires a protobuf runtime (not in container); "
-            "plumbing (actor pool, delimited flat-map) is the tested surface"
+        if self.delimited:
+            framed = split_delimited(batch, column=self.column, out="_rec")
+            payloads = framed["_rec"].to_pylist()
+            frame_ok = framed["ok"].to_pylist()
+            base = {
+                "src_row": framed["src_row"],
+                "rec_idx": framed["rec_idx"],
+            }
+        else:
+            payloads = batch[self.column].to_pylist()
+            frame_ok = [True] * len(payloads)
+            base = {
+                c: batch[c] for c in batch.column_names if c != self.column
+            }
+        vals, oks = [], []
+        for raw, fok in zip(payloads, frame_ok):
+            try:
+                if raw is None or not fok:
+                    raise ValueError("bad frame")
+                vals.append(self._decode_one(raw))
+                oks.append(True)
+            except Exception:
+                vals.append(None)
+                oks.append(False)
+        return pa.table(
+            {
+                **base,
+                self.out: pa.array(vals, pa.string()),
+                "proto_class": pa.array([self.class_name] * len(vals), pa.string()),
+                "decode_ok": pa.array(oks, pa.bool_()),
+            }
         )
+
+
+class ProtobufEncoder:
+    """Actor-pool protobuf encoder (src/encoders/protobuf.js:54-68): one
+    JSON-object content row → wire bytes; ``delimited=True`` prefixes each
+    record with its varint length (encodeDelimited concat)."""
+
+    def __init__(
+        self,
+        proto_schema: str,
+        class_name: str,
+        delimited: bool = False,
+        column: str = "content",
+        out: str = "payload",
+    ):
+        from ..functions.proto_codec import parse_proto
+
+        self.schema = parse_proto(proto_schema)
+        self.schema.lookup(class_name)
+        self.class_name = class_name
+        self.delimited = delimited
+        self.column = column
+        self.out = out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.proto_codec import encode_message
+
+        vals = []
+        for s in batch[self.column].to_pylist():
+            obj = json.loads(s) if isinstance(s, (str, bytes)) else s
+            body = encode_message(self.schema, self.class_name, obj)
+            vals.append(write_delimited([body]) if self.delimited else body)
+        return batch.append_column(self.out, pa.array(vals, pa.binary()))
