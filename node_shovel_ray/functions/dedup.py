@@ -335,9 +335,25 @@ def pc_cast_i64(col):
 
 # ------------------------------------------------------------------- SimHash
 
+# per-byte popcount table (numpy < 2 has no bitwise_count)
+_POP8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(
+    axis=1
+).astype(np.uint8)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount via a byte lookup table."""
+    b = np.ascontiguousarray(x, dtype=np.uint64).view(np.uint8)
+    return _POP8[b].reshape(len(x), 8).sum(axis=1).astype(np.int64)
+
 
 class SimHasher:
-    """text → 64-bit simhash (token-feature weighted bit vote), stateful seed."""
+    """text → 64-bit simhash (token-feature weighted bit vote), stateful seed.
+
+    Batch-vectorized like MinHasher: hash EVERY doc's tokens in one
+    ``pd.util.hash_array`` call, expand to a (tokens × 64) bit matrix, and
+    take per-doc majority votes via ``np.add.reduceat`` segment sums —
+    no per-doc Python work."""
 
     def __init__(self, seed: int = 42, column: str = "text", id_col: str = "doc_id"):
         self.column = column
@@ -345,19 +361,33 @@ class SimHasher:
         self.hash_key = f"{seed:016d}"[:16]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out = np.empty(len(batch), dtype=np.uint64)
-        for i, t in enumerate(batch[self.column].to_pylist()):
-            toks = np.array((t or "").split(), dtype=object)
-            if len(toks) == 0:
-                out[i] = 0
-                continue
-            hs = pd.util.hash_array(toks, hash_key=self.hash_key).astype(np.uint64)
-            bits = (
-                (hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
-                & np.uint64(1)
-            ).astype(np.int64)
-            votes = (2 * bits - 1).sum(axis=0)
-            out[i] = np.packbits((votes >= 0)[::-1]).view(">u8")[0]
+        texts = batch[self.column].to_pylist()
+        all_toks: list[str] = []
+        offsets = [0]
+        for t in texts:
+            all_toks.extend((t or "").split())
+            offsets.append(len(all_toks))
+        out = np.zeros(len(texts), dtype=np.uint64)
+        if all_toks:
+            hs = pd.util.hash_array(
+                np.array(all_toks, dtype=object), hash_key=self.hash_key
+            ).astype(np.uint64)
+            # bit i of each hash via unpackbits on the little-endian byte
+            # view — orders of magnitude faster than a broadcast uint64 shift
+            bits = np.unpackbits(
+                hs.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+            ).astype(np.int32)  # (tokens, 64), column i == (h >> i) & 1
+            starts = np.array(offsets[:-1])
+            seglen = np.diff(offsets)
+            nonempty = np.flatnonzero(seglen > 0)
+            if len(nonempty):
+                # empty docs excluded → nonempty starts strictly increase and
+                # each reduceat segment covers exactly one doc's tokens
+                ones = np.add.reduceat(bits, starts[nonempty], axis=0)
+                # vote >= 0  ⟺  2*ones >= n_tokens (votes = 2*ones - n)
+                maj = (2 * ones) >= seglen[nonempty][:, None]
+                packed = np.packbits(maj[:, ::-1], axis=1).view(">u8").ravel()
+                out[nonempty] = packed.astype(np.uint64)
         return pa.table(
             {self.id_col: batch[self.id_col], "simhash": pa.array(out, pa.uint64())}
         )
@@ -416,7 +446,7 @@ def simhash_pairs(
             hs = g["simhash"].to_numpy().astype(np.uint64)
             ia, ib = np.triu_indices(len(ids), k=1)
             x = hs[ia] ^ hs[ib]
-            ham = np.array([bin(int(v)).count("1") for v in x])
+            ham = _popcount64(x)
             keep = ham <= max_hamming
             out["doc_a"].append(ids[ia][keep])
             out["doc_b"].append(ids[ib][keep])

@@ -119,18 +119,30 @@ def fingerprint(
     window: int = 8,
 ) -> pa.Table:
     """Winnowing-style document fingerprint: min rolling hash over token
-    windows — stable under small edits outside the min window."""
+    windows — stable under small edits outside the min window.
+
+    Vectorized MinHasher-style: ONE ``hash_array`` call over every doc's
+    tokens; the residual per-doc loop touches only precomputed hash
+    segments with numpy slicing (no per-doc string hashing)."""
     texts = batch[column].to_pylist()
-    fps = np.empty(len(texts), dtype=np.uint64)
-    for i, t in enumerate(texts):
-        toks = np.array((t or "").split(), dtype=object)
-        if len(toks) == 0:
-            fps[i] = 0
-            continue
-        hs = pd.util.hash_array(toks, hash_key="fingerprintseed!"[:16])
-        if len(hs) <= window:
-            fps[i] = hs.min()
-        else:
-            w = np.lib.stride_tricks.sliding_window_view(hs, window)
-            fps[i] = np.bitwise_xor.reduce(w, axis=1).min()
+    all_toks: list[str] = []
+    offsets = [0]
+    for t in texts:
+        all_toks.extend((t or "").split())
+        offsets.append(len(all_toks))
+    fps = np.zeros(len(texts), dtype=np.uint64)
+    if all_toks:
+        hs = pd.util.hash_array(
+            np.array(all_toks, dtype=object), hash_key="fingerprintseed!"[:16]
+        )
+        for i in range(len(texts)):
+            a, b = offsets[i], offsets[i + 1]
+            if a == b:
+                continue
+            seg = hs[a:b]
+            if len(seg) <= window:
+                fps[i] = seg.min()
+            else:
+                w = np.lib.stride_tricks.sliding_window_view(seg, window)
+                fps[i] = np.bitwise_xor.reduce(w, axis=1).min()
     return batch.append_column(out, pa.array(fps, pa.uint64()))
