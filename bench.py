@@ -35,7 +35,21 @@ BENCH_CONVS = int(os.environ.get("NSR_BENCH_CONVS", "80000"))  # ~6M turns
 def _ensure_fixture() -> str:
     from node_shovel_ray.gen import write_fixture
 
-    return write_fixture(BENCH_DIR, n_convs=BENCH_CONVS, seed=42, n_files=256)
+    out = write_fixture(BENCH_DIR, n_convs=BENCH_CONVS, seed=42, n_files=256)
+    marker = os.path.join(BENCH_DIR, ".sharding_validated")
+    if not os.path.exists(marker):
+        # validate the layout contract once per dataset (not per timed run):
+        # the shuffle-free flagship plan depends on conv-disjoint files
+        import glob as _glob
+
+        from node_shovel_ray.sources.partitioned import validate_key_sharding
+
+        validate_key_sharding(
+            sorted(_glob.glob(os.path.join(BENCH_DIR, "transcripts", "*.parquet"))),
+            "conv_id",
+        )
+        open(marker, "w").write("ok\n")
+    return out
 
 
 def _flagship(sink_dir: str) -> int:

@@ -83,3 +83,37 @@ def test_seq_number_salted_equals_plain(tiny_tables):
     # with chunk=16, hot (>16-turn) conversations really exercised the salt path
     sizes = t.to_pandas().groupby("conv_id").size()
     assert sizes.max() > 16
+
+
+def test_validate_key_sharding_accepts_good_rejects_bad(tiny_fixture, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from node_shovel_ray.sources.partitioned import (
+        read_partitioned_parquet,
+        validate_key_sharding,
+    )
+
+    # the properly conv-sharded fixture passes (metadata-only check)
+    read_partitioned_parquet(
+        f"{tiny_fixture}/transcripts", columns=["conv_id"], validate_key="conv_id"
+    )
+
+    # deliberately mis-sharded: conv 'conv-b' spans both files
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    pq.write_table(
+        pa.table({"conv_id": ["conv-a", "conv-b"], "turn_idx": [0, 0]}),
+        bad / "part-0.parquet",
+    )
+    pq.write_table(
+        pa.table({"conv_id": ["conv-b", "conv-c"], "turn_idx": [1, 0]}),
+        bad / "part-1.parquet",
+    )
+    with pytest.raises(ValueError, match="sharding violated"):
+        read_partitioned_parquet(str(bad), validate_key="conv_id")
+    with pytest.raises(ValueError, match="sharding violated"):
+        validate_key_sharding(
+            sorted(str(p) for p in bad.glob("*.parquet")), "conv_id"
+        )
