@@ -39,34 +39,27 @@ def decode_json(
     """JSON.parse per row → struct-encoded-as-string columns.
 
     Output: ``{out}`` holds the canonical (sorted-key) JSON re-serialization,
-    ``decode_ok`` flags failures. ``lenient=True`` approximates JSON5: allows
-    single quotes and trailing commas (the subset the reference's json5 tests
-    exercise, tests/decoders/json5.js).
+    ``decode_ok`` flags failures. ``lenient=True`` parses full JSON5
+    (comments, unquoted keys, single quotes, trailing commas, hex,
+    Infinity/NaN — functions/json5.py), matching the reference's json5
+    decoder (src/decoders/json5.js:4-9).
     """
+    from ..functions.json5 import parse as json5_parse
+
+    loads = json5_parse if lenient else json.loads
     vals, oks = [], []
     for s in batch[column].to_pylist():
         try:
             if s is None:
                 raise ValueError("null")
-            if lenient:
-                s = _json5ish(s)
-            vals.append(json.dumps(json.loads(s), sort_keys=True, separators=(",", ":")))
+            vals.append(json.dumps(loads(s), sort_keys=True, separators=(",", ":")))
             oks.append(True)
-        except (ValueError, TypeError):
+        except (ValueError, TypeError, IndexError):
             vals.append(None)
             oks.append(False)
     return batch.append_column(out, pa.array(vals, pa.string())).append_column(
         "decode_ok", pa.array(oks, pa.bool_())
     )
-
-
-def _json5ish(s: str) -> str:
-    """Minimal JSON5 → JSON: single quotes and trailing commas."""
-    import re
-
-    s = re.sub(r"'([^'\\]*)'", r'"\1"', s)
-    s = re.sub(r",(\s*[}\]])", r"\1", s)
-    return s
 
 
 def json_field(batch: pa.Table, column: str, field: str, out: str) -> pa.Table:

@@ -99,7 +99,60 @@ def test_delimited_truncated_tail_flagged():
     assert out["record"][0].as_py() == b"good"
 
 
-def test_protobuf_stub_raises():
-    dec = ProtobufDecoder("message T { int32 a = 1; }", delimited=True)
-    with pytest.raises(NotImplementedError):
-        dec(pa.table({"payload": pa.array([b""], pa.binary())}))
+def test_protobuf_decoder_is_real_now():
+    # wire decode implemented in round 2 (see tests/test_protobuf.py);
+    # unknown class still fails fast at construction like onStart
+    dec = ProtobufDecoder("message T { int32 a = 1; }", "T")
+    out = dec(pa.table({"payload": pa.array([bytes([8, 5])], pa.binary())}))
+    assert out["content"].to_pylist() == ['{"a":5}']
+    with pytest.raises(KeyError):
+        ProtobufDecoder("message T { int32 a = 1; }", "Nope")
+
+
+def test_json5_full_grammar():
+    """Full JSON5 cases the reference's json5 lib accepts
+    (tests/decoders/json5.js round-trips JSON5.stringify output:
+    unquoted keys + single quotes)."""
+    from node_shovel_ray.functions.json5 import parse
+
+    # the reference test vector: JSON5.stringify({test:'ok'}) == "{test:'ok'}"
+    assert parse("{test:'ok'}") == {"test": "ok"}
+    assert parse("""
+        // line comment
+        {
+          unquoted: 1,          /* block comment */
+          $id_: 'single',
+          "double": [1, 2, 3,],  // trailing comma
+          hex: 0xFF,
+          lead: .5,
+          trail: 5.,
+          plus: +3,
+          inf: Infinity,
+          neg: -Infinity,
+          cont: 'a\\
+b',
+        }
+    """) == {
+        "unquoted": 1, "$id_": "single", "double": [1, 2, 3],
+        "hex": 255, "lead": 0.5, "trail": 5.0, "plus": 3,
+        "inf": float("inf"), "neg": float("-inf"), "cont": "ab",
+    }
+    import math
+    assert math.isnan(parse("NaN"))
+    assert parse('"\\u0041\\x42"') == "AB"
+
+    import pytest
+    for bad in ("{test:'ok'} x", "{a:1", "'unterminated", "{1:2}", "/*", "[1 2]"):
+        with pytest.raises(ValueError):
+            parse(bad)
+
+
+def test_decode_json5_lenient_batch():
+    import pyarrow as pa
+
+    from node_shovel_ray.stages.decode import decode_json
+
+    t = pa.table({"text": ["{test:'ok', n:0x10,}", "// only comment", "{a:1}"]})
+    out = decode_json(t, lenient=True)
+    assert out["decode_ok"].to_pylist() == [True, False, True]
+    assert out["content"].to_pylist()[0] == '{"n":16,"test":"ok"}'
