@@ -94,6 +94,15 @@ def _in_text(o):
     return lambda: rd.read_text(o["path"])
 
 
+@register("input", "multiline_text")
+def _in_multiline(o):
+    # multiline records assembled correctly across EVERY file boundary
+    # (reference src/decoders/multiline.js stack-carry; sources/multiline.py)
+    from ..sources.multiline import read_multiline_text
+
+    return lambda: read_multiline_text(o["path"], column=o.get("column", "text"))
+
+
 @register("input", "items")
 def _in_items(o):
     return lambda: rd.from_items(o["items"])
