@@ -92,3 +92,69 @@ def translate(
     if default is not None:
         out = pc.fill_null(out, default)
     return out
+
+
+# ------------------------------------------------------------- small utils
+# (reference src/core/utils.js:69-72 parseContentType, 97-101 Duration.parse)
+
+_DUR_UNITS_MS = {
+    "ns": 1e-6, "us": 1e-3, "µs": 1e-3, "ms": 1.0,
+    "s": 1000.0, "sec": 1000.0, "second": 1000.0, "seconds": 1000.0,
+    "m": 60_000.0, "min": 60_000.0, "minute": 60_000.0, "minutes": 60_000.0,
+    "h": 3_600_000.0, "hr": 3_600_000.0, "hour": 3_600_000.0, "hours": 3_600_000.0,
+    "d": 86_400_000.0, "day": 86_400_000.0, "days": 86_400_000.0,
+    "w": 604_800_000.0, "wk": 604_800_000.0, "week": 604_800_000.0, "weeks": 604_800_000.0,
+    "y": 31_557_600_000.0, "yr": 31_557_600_000.0, "year": 31_557_600_000.0, "years": 31_557_600_000.0,
+}
+
+_DUR_RE = re.compile(
+    r"(-?\d*\.?\d+)\s*([a-zµ]*)", re.IGNORECASE
+)
+
+
+def parse_duration(value) -> float:
+    """``Duration.parse`` (reference src/core/utils.js:97-101, the public
+    parse-duration grammar): '1h30m', '2 days', '1.5s', '100' (bare = ms),
+    negative values — returns milliseconds (float).
+    """
+    if isinstance(value, (int, float)):
+        return float(value)
+    s = str(value).strip()
+    if not s:
+        raise ValueError("empty duration")
+    total = 0.0
+    matched = 0
+    for num, unit in _DUR_RE.findall(s):
+        unit = unit.lower()
+        if unit and unit not in _DUR_UNITS_MS:
+            raise ValueError(f"unknown duration unit {unit!r} in {value!r}")
+        total += float(num) * _DUR_UNITS_MS.get(unit, 1.0)
+        matched += 1
+    if not matched:
+        raise ValueError(f"unparseable duration {value!r}")
+    return total
+
+
+def parse_duration_s(value) -> float:
+    """Duration in SECONDS — the config-layer convenience (window sizes)."""
+    return parse_duration(value) / 1000.0
+
+
+def parse_content_type(value: str) -> dict:
+    """``parseContentType`` (reference src/core/utils.js:69-72): MIME
+    essence + parameter map, per the WHATWG grammar subset the reference
+    exercises ('application/protobuf; proto=Test')."""
+    parts = [p.strip() for p in str(value).split(";")]
+    mime = parts[0].lower()
+    if "/" not in mime:
+        raise ValueError(f"invalid content type {value!r}")
+    params: dict[str, str] = {}
+    for p in parts[1:]:
+        if not p or "=" not in p:
+            continue
+        k, _, v = p.partition("=")
+        v = v.strip()
+        if len(v) >= 2 and v[0] == '"' and v[-1] == '"':
+            v = v[1:-1]
+        params.setdefault(k.strip().lower(), v)
+    return {"mimeType": mime, "parameters": params}

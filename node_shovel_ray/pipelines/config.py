@@ -162,6 +162,20 @@ def _dec_msgpack(o):
     )
 
 
+def _proto_class_name(o) -> str:
+    """class_name config, falling back to the content-type 'proto' parameter
+    — the reference's getClassName (src/decoders/protobuf.js:73-79)."""
+    if o.get("class_name"):
+        return o["class_name"]
+    from ..functions.template import parse_content_type
+
+    ct = parse_content_type(o.get("content_type", ""))
+    name = ct["parameters"].get("proto")
+    if not name:
+        raise ValueError("Missing class name")
+    return name
+
+
 @register("decoder", "protobuf")
 def _dec_protobuf(o):
     from ..stages.decode import ProtobufDecoder
@@ -172,7 +186,7 @@ def _dec_protobuf(o):
         ProtobufDecoder,
         fn_constructor_kwargs=dict(
             proto_schema=schema,
-            class_name=o["class_name"],
+            class_name=_proto_class_name(o),
             delimited=o.get("delimited", False),
             content_type=o.get("content_type", "application/protobuf"),
             column=o.get("column", "payload"),
@@ -192,7 +206,7 @@ def _enc_protobuf(o):
         ProtobufEncoder,
         fn_constructor_kwargs=dict(
             proto_schema=schema,
-            class_name=o["class_name"],
+            class_name=_proto_class_name(o),
             delimited=o.get("delimited", False),
             column=o.get("column", "content"),
         ),
@@ -295,6 +309,21 @@ def _pl_filter(o):
     kernel = ops[op]
     return lambda ds: ds.map_batches(
         lambda t: t.filter(kernel(t[col], val)), batch_format="pyarrow"
+    )
+
+
+@register("pipeline", "window")
+def _pl_window(o):
+    """Tumbling-window aggregate; ``size`` accepts Duration strings
+    ('1h', '30m', '90s' — functions/template.parse_duration)."""
+    from ..functions.template import parse_duration_s
+    from ..stages.window import tumbling_aggregate
+
+    size_s = int(parse_duration_s(o.get("size", "1h")))
+    keys = o.get("keys", [])
+    return lambda ds: tumbling_aggregate(
+        ds, keys=keys, ts_col=o.get("ts_col", "ts"), size_s=size_s,
+        value_col=o.get("value_col"),
     )
 
 

@@ -143,3 +143,49 @@ def test_blackhole_and_parquet_outputs(tmp_path):
     import glob
 
     assert glob.glob(os.path.join(path, "*.parquet"))
+
+
+def test_duration_and_content_type_utils():
+    from node_shovel_ray.functions.template import (
+        parse_content_type,
+        parse_duration,
+    )
+
+    assert parse_duration("1h30m") == 5_400_000
+    assert parse_duration("100") == 100  # bare number = ms
+    ct = parse_content_type("application/protobuf; proto=Test")
+    assert ct["mimeType"] == "application/protobuf"
+    assert ct["parameters"]["proto"] == "Test"
+
+
+def test_protobuf_class_from_content_type():
+    from node_shovel_ray.pipelines.config import _proto_class_name
+
+    assert _proto_class_name({"class_name": "X"}) == "X"
+    assert (
+        _proto_class_name({"content_type": "application/protobuf; proto=Test"})
+        == "Test"
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="Missing class name"):
+        _proto_class_name({"content_type": "application/protobuf"})
+
+
+def test_window_stage_duration_config(ray_session):
+    import datetime
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from node_shovel_ray.pipelines.config import REGISTRY
+
+    stage = REGISTRY["pipeline"]["window"]({"size": "30m", "keys": []})
+    ts = [
+        datetime.datetime(2024, 1, 1, 0, 10),
+        datetime.datetime(2024, 1, 1, 0, 40),
+        datetime.datetime(2024, 1, 1, 0, 50),
+    ]
+    ds = rd.from_arrow(pa.table({"ts": pa.array(ts, pa.timestamp("us"))}))
+    out = stage(ds).to_pandas().sort_values("window").reset_index(drop=True)
+    assert list(out["n"]) == [1, 2]
