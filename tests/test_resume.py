@@ -85,3 +85,49 @@ def test_kill_resume(tiny_fixture, tiny_tables, tmp_path):
     # third run over everything: pure no-op
     infos3 = ResumableRunner(out_dir).run(parts, process)
     assert all(i["skipped"] for i in infos3)
+
+
+def test_follow_once_incremental(ray_session, tmp_path):
+    """Polling-input analogue (reference src/inputs/http-request.js cron
+    loop → batch 'process only what's new'): second tick is a no-op,
+    late-arriving files are picked up, totals never double-count."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from node_shovel_ray.state.incremental import follow_once
+
+    watch = tmp_path / "incoming"
+    out = tmp_path / "out"
+    watch.mkdir()
+
+    def write(i, n):
+        pq.write_table(
+            pa.table({"k": ["a"] * n, "v": list(range(n))}),
+            watch / f"f-{i:03d}.parquet",
+        )
+
+    def process(ds):
+        return {"sinks": {"all": ds}}
+
+    write(0, 3)
+    write(1, 2)
+    r1 = follow_once(str(watch), str(out), process)
+    assert r1["new_groups"] == 2 and r1["rows_in"] == 5
+
+    # tick with nothing new → no-op
+    r2 = follow_once(str(watch), str(out), process)
+    assert r2["new_groups"] == 0 and r2["rows_in"] == 0
+
+    # a late file arrives → only it is processed
+    write(2, 4)
+    r3 = follow_once(str(watch), str(out), process)
+    assert r3["new_groups"] == 1 and r3["rows_in"] == 4
+
+    # all rows landed exactly once
+    import glob as g
+
+    total = sum(
+        pq.read_table(f).num_rows
+        for f in g.glob(str(out / "sink=all" / "*" / "*.parquet"))
+    )
+    assert total == 9
