@@ -185,21 +185,14 @@ def seq_number_salted(
 
     class AddOffset:
         def __init__(self):
-            tbl = ray.get(ref)
-            self.lut = {
-                (k, s): o
-                for k, s, o in zip(
-                    tbl[key].to_pylist(),
-                    tbl["_salt"].to_pylist(),
-                    tbl["_offset"].to_pylist(),
-                )
-            }
+            self.offsets = ray.get(ref).to_pandas()  # (key, _salt, _offset)
 
         def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            off = [
-                self.lut[(k, s)] for k, s in zip(b[key].to_numpy(), b["_salt"].to_numpy())
-            ]
-            b[out_col] = b["_chunk_rank"].to_numpy() + np.asarray(off, dtype=np.int64)
+            # vectorized merge on (key, _salt) — no per-row dict lookups
+            merged = b.merge(self.offsets, on=[key, "_salt"], how="left")
+            b[out_col] = (
+                b["_chunk_rank"].to_numpy() + merged["_offset"].to_numpy()
+            ).astype("int64")
             return b.drop(columns=["_salt", "_chunk_rank"])
 
     return ranked.map_batches(AddOffset, batch_format="pandas", concurrency=(1, 2))
