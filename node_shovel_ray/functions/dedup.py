@@ -218,17 +218,41 @@ def minhash_lsh_pairs(
         cand, ["doc_a", "doc_b"], first_per_key_block(["doc_a", "doc_b"])
     ).materialize()  # candidates are output-bounded (max_bucket cap) — tiny
 
-    # Verify by exact Jaccard WITHOUT ever materializing the corpus:
-    # 1. semi-join filter — broadcast the distinct candidate doc-id set
-    #    (O(#pairs) ints) and stream-filter the corpus down to candidate
-    #    texts only (no shuffle of the wide text rows);
-    # 2. two distributed keyed joins attach text_a / text_b onto the pair
-    #    rows (per-bucket memory is bounded by bucket size, never corpus).
+    verified = ngram_jaccard(
+        cand, texts, id_col=id_col, column=column, k=k, concurrency=concurrency
+    )
+    return verified.filter(expr=f"jaccard >= {threshold}")
+
+
+def ngram_jaccard(
+    pairs: "ray.data.Dataset",
+    texts: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    column: str = "text",
+    k: int = 3,
+    concurrency=None,
+) -> "ray.data.Dataset":
+    """Exact k-gram Jaccard for a candidate pair list — the verify kernel,
+    also exposed standalone: (doc_a, doc_b) rows + a texts table →
+    (doc_a, doc_b, jaccard).
+
+    Never materializes the corpus:
+
+    1. semi-join filter — broadcast the distinct candidate doc-id set
+       (O(#pairs) ints) and stream-filter the corpus down to candidate
+       texts only (no shuffle of the wide text rows);
+    2. two distributed keyed joins attach text_a / text_b onto the pair
+       rows (per-bucket memory is bounded by bucket size, never corpus).
+    """
     import ray
 
+    from ..stages.keyed import default_pool
+
+    concurrency = concurrency or default_pool()
     ids = np.unique(
         np.array(
-            list(cand.unique("doc_a")) + list(cand.unique("doc_b")), dtype=np.int64
+            list(pairs.unique("doc_a")) + list(pairs.unique("doc_b")),
+            dtype=np.int64,
         )
     )
     ids_ref = ray.put(ids)
@@ -240,16 +264,18 @@ def minhash_lsh_pairs(
         def __call__(self, t: pa.Table) -> pa.Table:
             import pyarrow.compute as pc
 
-            return t.filter(pc.is_in(pc.cast(t[id_col], pa.int64()), value_set=self.idset))
+            return t.filter(
+                pc.is_in(pc.cast(t[id_col], pa.int64()), value_set=self.idset)
+            )
 
     cand_texts = texts.map_batches(
         FilterToCandidates, batch_format="pyarrow", concurrency=concurrency
     )
 
-    joined = _attach_text(cand, cand_texts, "doc_a", "_text_a", id_col, column)
+    joined = _attach_text(pairs, cand_texts, "doc_a", "_text_a", id_col, column)
     joined = _attach_text(joined, cand_texts, "doc_b", "_text_b", id_col, column)
 
-    def verify(b: pd.DataFrame) -> pd.DataFrame:
+    def jaccard(b: pd.DataFrame) -> pd.DataFrame:
         if not len(b):
             return pd.DataFrame(
                 {"doc_a": pd.Series([], dtype="int64"),
@@ -265,9 +291,9 @@ def minhash_lsh_pairs(
             jac.append(inter / union)
         b = b[["doc_a", "doc_b"]].copy()
         b["jaccard"] = jac
-        return b[b["jaccard"] >= threshold]
+        return b
 
-    return joined.map_batches(verify, batch_format="pandas")
+    return joined.map_batches(jaccard, batch_format="pandas")
 
 
 def _attach_text(
