@@ -132,6 +132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_event_types": relational.distinct_event_types,
         "sessionize": relational.sessionize,
         "asof_join": relational.asof_join_events_orders,
+        "range_join": relational.range_join_events_orders,
         "grouped_topk_hours": relational.grouped_topk_hours,
         "distinct_users_per_type": relational.distinct_users_per_type,
         "filter_project": relational.filter_project_revenue,
@@ -142,6 +143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-data corpus ops
         "dedup_exact_docs": corpus.dedup_exact_docs,
         "token_stats_docs": corpus.token_stats_docs,
+        "bpe_token_stats_docs": corpus.bpe_token_stats_docs,
         "quality_docs": corpus.quality_docs,
         "langid_docs": corpus.langid_docs,
         "fingerprint_docs": corpus.fingerprint_docs,
@@ -217,6 +219,22 @@ def oracle_sql() -> dict[str, str]:
             FROM events e
             ASOF LEFT JOIN orders o
               ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+        """,
+        "range_join": """
+            SELECT e.event_id,
+                   count(o.o_orderkey) AS n_recent_orders,
+                   round(coalesce(sum(o.o_totalprice), 0), 2) AS recent_total
+            FROM events e LEFT JOIN orders o
+              ON o.o_custkey = e.user_id
+             AND o.o_orderdate BETWEEN e.ts - INTERVAL 90 DAY AND e.ts
+            GROUP BY e.event_id
+        """,
+        "bpe_token_stats_docs": r"""
+            SELECT doc_id,
+              CAST(len(regexp_extract_all(
+                text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]|\s+')) AS BIGINT)
+                AS n_bpe_tokens
+            FROM documents
         """,
         "filter_project": """
             SELECT l_orderkey,

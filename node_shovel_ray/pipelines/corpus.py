@@ -36,6 +36,18 @@ def token_stats_docs(sf_dir: str) -> "rd.Dataset":
     )
 
 
+def bpe_token_stats_docs(sf_dir: str) -> "rd.Dataset":
+    """BPE-ish token estimate (GPT-2-pretokenizer-style regex count) —
+    vectorized RE2 count, SQL-oracle-checked (same RE2 engine in DuckDB)."""
+    from ..functions.textstats import bpe_ish_token_count
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(bpe_ish_token_count, batch_format="pyarrow", zero_copy_batch=True)
+        .select_columns(["doc_id", "n_bpe_tokens"])
+    )
+
+
 def quality_docs(sf_dir: str) -> "rd.Dataset":
     out = (
         _docs(sf_dir, ["doc_id", "text"])

@@ -279,3 +279,57 @@ def union_event_extremes(sf_dir: str) -> "rd.Dataset":
     from ..stages.keyed import first_per_key_block, keyed_map_blocks
 
     return keyed_map_blocks(u, ["event_id"], first_per_key_block(["event_id"]))
+
+
+def range_join_events_orders(sf_dir: str, window_days: int = 90) -> "rd.Dataset":
+    """Range (interval) join: per event, count + revenue of the same
+    customer's orders with ``o_orderdate`` in ``[ts - window, ts]`` — the
+    interval-predicate join family Ray Data lacks, composed as a
+    broadcast-dimension join (orders side ``ray.put`` once, fetched per
+    actor) + vectorized per-batch merge/interval-filter/aggregate.
+
+    Scale shape: the fact side (events) streams, never shuffles; the
+    dimension side is broadcast (viable while orders-per-node fits memory —
+    beyond that, bucket BOTH sides on the key hash like asof_join and run
+    the same merge per bucket). Left-join semantics: events with no
+    matching order keep n=0 / total=0.
+    """
+    import ray
+
+    from ..stages.keyed import default_pool
+
+    orders = (
+        _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"])
+        .to_pandas()
+        .sort_values(["o_custkey", "o_orderdate"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    ref = ray.put(orders)
+    win = np.timedelta64(window_days, "D")
+
+    class RangeJoin:
+        def __init__(self):
+            self.orders = ray.get(ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            m = b.merge(
+                self.orders, left_on="user_id", right_on="o_custkey", how="left"
+            )
+            od = m["o_orderdate"].to_numpy("datetime64[us]")
+            ts = m["ts"].to_numpy("datetime64[us]")
+            ok = (od >= ts - win) & (od <= ts)
+            m["_n"] = ok.astype("int64")
+            m["_v"] = np.where(ok, m["o_totalprice"].to_numpy(), 0.0)
+            g = m.groupby("event_id", sort=False).agg(
+                n_recent_orders=("_n", "sum"), recent_total=("_v", "sum")
+            )
+            g = g.reset_index()
+            g["n_recent_orders"] = g["n_recent_orders"].astype("int64")
+            # round(2) half-away-from-zero, matching the DuckDB oracle
+            v = g["recent_total"].to_numpy()
+            g["recent_total"] = np.sign(v) * np.floor(np.abs(v) * 100 + 0.5) / 100
+            return g
+
+    return _read(sf_dir, "events", ["event_id", "user_id", "ts"]).map_batches(
+        RangeJoin, batch_format="pandas", concurrency=default_pool()
+    )
