@@ -168,6 +168,7 @@ def minhash_lsh_pairs(
     seed: int = 42,
     max_bucket: int = 200,
     concurrency=None,
+    pair_dedup_limit: int = 2_000_000,
 ) -> "ray.data.Dataset":
     """Near-duplicate candidate pairs with exact-Jaccard verification.
 
@@ -212,11 +213,18 @@ def minhash_lsh_pairs(
             {"doc_a": np.concatenate(outs_a), "doc_b": np.concatenate(outs_b)}
         )
 
-    cand = keyed_map_blocks(bands, ["band_id", "band_hash"], bucket_pairs)
-    # dedup candidate pairs across bands (small vs corpus; keyed exchange)
-    cand = keyed_map_blocks(
-        cand, ["doc_a", "doc_b"], first_per_key_block(["doc_a", "doc_b"])
-    ).materialize()  # candidates are output-bounded (max_bucket cap) — tiny
+    # candidates are output-bounded (max_bucket cap) — materialize once
+    cand = keyed_map_blocks(bands, ["band_id", "band_hash"], bucket_pairs).materialize()
+    # dedup pairs that collided in several bands: driver-side when the
+    # candidate set is small (saves a whole keyed exchange), else a keyed
+    # exchange on (doc_a, doc_b)
+    if cand.count() <= pair_dedup_limit:
+        df = cand.to_pandas().drop_duplicates(["doc_a", "doc_b"])
+        cand = ray.data.from_pandas(df.reset_index(drop=True))
+    else:
+        cand = keyed_map_blocks(
+            cand, ["doc_a", "doc_b"], first_per_key_block(["doc_a", "doc_b"])
+        )
 
     verified = ngram_jaccard(
         cand, texts, id_col=id_col, column=column, k=k, concurrency=concurrency
@@ -231,51 +239,47 @@ def ngram_jaccard(
     column: str = "text",
     k: int = 3,
     concurrency=None,
+    broadcast_limit: int = 200_000,
 ) -> "ray.data.Dataset":
     """Exact k-gram Jaccard for a candidate pair list — the verify kernel,
     also exposed standalone: (doc_a, doc_b) rows + a texts table →
     (doc_a, doc_b, jaccard).
 
-    Never materializes the corpus:
+    Never materializes the corpus. First a semi-join filter: broadcast the
+    distinct candidate doc-id set (O(#pairs) ints) and stream-filter the
+    corpus down to candidate texts only — no shuffle of the wide text
+    rows. Then:
 
-    1. semi-join filter — broadcast the distinct candidate doc-id set
-       (O(#pairs) ints) and stream-filter the corpus down to candidate
-       texts only (no shuffle of the wide text rows);
-    2. two distributed keyed joins attach text_a / text_b onto the pair
-       rows (per-bucket memory is bounded by bucket size, never corpus).
+    - ``≤ broadcast_limit`` candidate docs → broadcast the FILTERED texts
+      (``ray.put`` once, read per actor; memory is O(candidates), never
+      O(corpus)) and verify in one streaming pass;
+    - else → two distributed keyed joins attach text_a / text_b onto the
+      pair rows (per-bucket memory bounded by bucket size).
     """
     import ray
 
     from ..stages.keyed import default_pool
 
     concurrency = concurrency or default_pool()
+    cand_ids = pairs.select_columns(["doc_a", "doc_b"]).to_pandas()
     ids = np.unique(
-        np.array(
-            list(pairs.unique("doc_a")) + list(pairs.unique("doc_b")),
-            dtype=np.int64,
+        np.concatenate(
+            [cand_ids["doc_a"].to_numpy(np.int64), cand_ids["doc_b"].to_numpy(np.int64)]
         )
-    )
-    ids_ref = ray.put(ids)
+    ) if len(cand_ids) else np.array([], dtype=np.int64)
+    # candidate-id set is small (O(#pairs) int64) → a task closure beats an
+    # actor pool here: no pool spin-up, and Ray ships the closure once per
+    # task from the owning worker
+    idset = pa.array(ids, pa.int64())
 
-    class FilterToCandidates:
-        def __init__(self):
-            self.idset = pa.array(ray.get(ids_ref), pa.int64())
+    def filter_to_candidates(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
+        return t.filter(pc.is_in(pc.cast(t[id_col], pa.int64()), value_set=idset))
 
-            return t.filter(
-                pc.is_in(pc.cast(t[id_col], pa.int64()), value_set=self.idset)
-            )
+    cand_texts = texts.map_batches(filter_to_candidates, batch_format="pyarrow")
 
-    cand_texts = texts.map_batches(
-        FilterToCandidates, batch_format="pyarrow", concurrency=concurrency
-    )
-
-    joined = _attach_text(pairs, cand_texts, "doc_a", "_text_a", id_col, column)
-    joined = _attach_text(joined, cand_texts, "doc_b", "_text_b", id_col, column)
-
-    def jaccard(b: pd.DataFrame) -> pd.DataFrame:
+    def jaccard_frame(b: pd.DataFrame, ta_col: str, tb_col: str) -> pd.DataFrame:
         if not len(b):
             return pd.DataFrame(
                 {"doc_a": pd.Series([], dtype="int64"),
@@ -283,7 +287,7 @@ def ngram_jaccard(
                  "jaccard": pd.Series([], dtype="float64")}
             )
         jac = []
-        for ta, tb in zip(b["_text_a"], b["_text_b"]):
+        for ta, tb in zip(b[ta_col], b[tb_col]):
             sa = _shingles((ta if isinstance(ta, str) else "").split(), k)
             sb = _shingles((tb if isinstance(tb, str) else "").split(), k)
             inter = len(sa & sb)
@@ -293,7 +297,23 @@ def ngram_jaccard(
         b["jaccard"] = jac
         return b
 
-    return joined.map_batches(jaccard, batch_format="pandas")
+    if len(ids) <= broadcast_limit:
+        # broadcast path: only CANDIDATE texts ship (O(candidates) memory)
+        tmap = cand_texts.to_pandas().set_index(id_col)[column]
+
+        def verify(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.copy()
+            b["_ta"] = b["doc_a"].map(tmap)
+            b["_tb"] = b["doc_b"].map(tmap)
+            return jaccard_frame(b, "_ta", "_tb")
+
+        return pairs.map_batches(verify, batch_format="pandas")
+
+    joined = _attach_text(pairs, cand_texts, "doc_a", "_text_a", id_col, column)
+    joined = _attach_text(joined, cand_texts, "doc_b", "_text_b", id_col, column)
+    return joined.map_batches(
+        lambda b: jaccard_frame(b, "_text_a", "_text_b"), batch_format="pandas"
+    )
 
 
 def _attach_text(

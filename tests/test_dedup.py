@@ -75,3 +75,44 @@ def test_simhash_pairs():
     got = {tuple(sorted(p)) for p in zip(pairs["doc_a"], pairs["doc_b"])}
     assert (0, 3) in got           # identical text → hamming 0
     assert (2, 4) not in got        # unrelated text stays apart
+
+
+def test_ngram_jaccard_paths_agree(ray_session):
+    """Broadcast (small candidate set) and distributed keyed-join verify
+    paths must produce identical jaccard rows."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from node_shovel_ray.functions.dedup import ngram_jaccard
+
+    texts = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(6), pa.int64()),
+                "text": [
+                    "a b c d e", "a b c d f", "x y z", "x y w",
+                    "p q r s", "",
+                ],
+            }
+        )
+    )
+    pairs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_a": pa.array([0, 2, 4], pa.int64()),
+                "doc_b": pa.array([1, 3, 5], pa.int64()),
+            }
+        )
+    )
+    bc = (
+        ngram_jaccard(pairs, texts, k=2, concurrency=(1, 2))
+        .to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    )
+    kj = (
+        ngram_jaccard(pairs, texts, k=2, concurrency=(1, 2), broadcast_limit=0)
+        .to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(bc, kj)
+    assert bc.iloc[0]["jaccard"] == 3 / 5  # {a b,b c,c d} of 5 bigrams
+    assert bc.iloc[2]["jaccard"] == 0.0    # vs empty doc
