@@ -133,6 +133,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": relational.sessionize,
         "asof_join": relational.asof_join_events_orders,
         "range_join": relational.range_join_events_orders,
+        "semi_join": relational.semi_join_customers,
+        "anti_join": relational.anti_join_customers,
+        "median_value_per_type": relational.median_value_per_type,
         "grouped_topk_hours": relational.grouped_topk_hours,
         "distinct_users_per_type": relational.distinct_users_per_type,
         "filter_project": relational.filter_project_revenue,
@@ -219,6 +222,21 @@ def oracle_sql() -> dict[str, str]:
             FROM events e
             ASOF LEFT JOIN orders o
               ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+        """,
+        "semi_join": """
+            SELECT c_custkey, c_mktsegment FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                          AND o.o_orderpriority = '1-URGENT')
+        """,
+        "anti_join": """
+            SELECT c_custkey, c_mktsegment FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                              AND o.o_orderpriority = '1-URGENT')
+        """,
+        "median_value_per_type": """
+            SELECT event_type,
+                   round(quantile_disc(value, 0.5), 2) AS median_value
+            FROM events GROUP BY 1
         """,
         "range_join": """
             SELECT e.event_id,

@@ -333,3 +333,62 @@ def range_join_events_orders(sf_dir: str, window_days: int = 90) -> "rd.Dataset"
     return _read(sf_dir, "events", ["event_id", "user_id", "ts"]).map_batches(
         RangeJoin, batch_format="pandas", concurrency=default_pool()
     )
+
+
+def _custkeys_with_urgent_orders(sf_dir: str) -> "pa.Array":
+    """Distinct custkeys holding 1-URGENT orders — the tiny build side for
+    semi/anti joins (urgent-only so BOTH joins select non-trivially)."""
+    urgent = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"]).filter(
+        expr="o_orderpriority == '1-URGENT'"
+    )
+    keys = urgent.unique("o_custkey")
+    return pa.array(sorted(keys), pa.int64())
+
+
+def semi_join_customers(sf_dir: str) -> "rd.Dataset":
+    """Semi join: customers having at least one urgent order. The build
+    side is a distinct-key set broadcast into a streaming is_in filter —
+    the probe side never shuffles (big-probe/small-build shape)."""
+    keyset = _custkeys_with_urgent_orders(sf_dir)
+
+    def probe(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["c_custkey"], value_set=keyset))
+
+    return _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        probe, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def anti_join_customers(sf_dir: str) -> "rd.Dataset":
+    """Anti join: customers with NO urgent orders (same shape, negated)."""
+    keyset = _custkeys_with_urgent_orders(sf_dir)
+
+    def probe(t: pa.Table) -> pa.Table:
+        return t.filter(pc.invert(pc.is_in(t["c_custkey"], value_set=keyset)))
+
+    return _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        probe, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def median_value_per_type(sf_dir: str) -> "rd.Dataset":
+    """Exact per-group median (discrete, lower-of-two for even counts —
+    DuckDB quantile_disc(0.5) semantics). Ray has no quantile aggregate;
+    composed as one keyed exchange + a vectorized per-group quantile in
+    each hash bucket. Exactness costs the groups' values crossing the
+    exchange once; for sketched quantiles at 100 TB, pre-aggregate
+    per-batch histograms instead."""
+    from ..stages.keyed import keyed_map_blocks
+
+    def med(df: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            df.groupby("event_type", sort=False)["value"]
+            .quantile(0.5, interpolation="lower")
+            .reset_index()
+            .rename(columns={"value": "median_value"})
+        )
+        out["median_value"] = out["median_value"].round(2)
+        return out
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+    return keyed_map_blocks(ev, ["event_type"], med)
