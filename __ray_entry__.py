@@ -151,6 +151,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_docs": corpus.langid_docs,
         "fingerprint_docs": corpus.fingerprint_docs,
         "minhash_pairs_docs": corpus.minhash_pairs_docs,
+        "neardup_dedup_docs": corpus.neardup_dedup_docs,
+        "vocab_top_tokens": corpus.vocab_top_tokens,
         "simhash_pairs_docs": corpus.simhash_pairs_docs,
         "knn_vec0": corpus.knn_vec0,
         "knn_ivf_vec0": corpus.knn_ivf_vec0,
@@ -293,6 +295,14 @@ def oracle_sql() -> dict[str, str]:
                    ELSE CAST(array_length(string_split_regex(trim(text), '\s+')) AS BIGINT)
               END AS n_tokens
             FROM documents
+        """,
+        "vocab_top_tokens": r"""
+            SELECT token, CAST(count(*) AS BIGINT) AS n
+            FROM (
+              SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+              FROM documents WHERE trim(text) <> ''
+            )
+            GROUP BY token ORDER BY n DESC, token ASC LIMIT 20
         """,
         "knn_vec0": """
             SELECT vec_id,

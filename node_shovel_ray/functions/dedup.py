@@ -507,3 +507,59 @@ def simhash_pairs(
     return keyed_map_blocks(
         pairs, ["doc_a", "doc_b"], first_per_key_block(["doc_a", "doc_b"])
     )
+
+
+def connected_components(pairs: pd.DataFrame, a: str = "doc_a", b: str = "doc_b") -> dict:
+    """Union-find over a (small) duplicate-pair edge list → {doc_id: root}.
+
+    The pair list is output-bounded (bucket caps), so driver-side
+    union-find is the right tool even at 100 TB corpus scale; only ids in
+    some pair appear in the result.
+    """
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for x, y in zip(pairs[a], pairs[b]):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            # smaller id wins → the survivor is the min id of the component
+            lo, hi = (rx, ry) if rx < ry else (ry, rx)
+            parent[hi] = lo
+    return {x: find(x) for x in parent}
+
+
+def dedup_near(
+    ds: "ray.data.Dataset",
+    column: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    **lsh_kwargs,
+) -> "ray.data.Dataset":
+    """End-to-end near-duplicate REMOVAL: MinHash-LSH pairs → connected
+    components → keep only each component's min-id representative.
+
+    The drop set (non-representative members) is broadcast into a
+    streaming filter, so the corpus itself never shuffles."""
+    pairs = minhash_lsh_pairs(
+        ds, column=column, id_col=id_col, threshold=threshold, **lsh_kwargs
+    ).to_pandas()
+    roots = connected_components(pairs)
+    drop = pa.array(
+        sorted(x for x, r in roots.items() if x != r), pa.int64()
+    )
+
+    def keep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(
+            pc.invert(pc.is_in(pc.cast(t[id_col], pa.int64()), value_set=drop))
+        )
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)

@@ -36,6 +36,62 @@ def token_stats_docs(sf_dir: str) -> "rd.Dataset":
     )
 
 
+def neardup_dedup_docs(sf_dir: str) -> "rd.Dataset":
+    """End-to-end near-dup REMOVAL (pairs → connected components → keep
+    min-id representative). Gate-scale guard: survivors = all docs minus
+    non-root members of the pair graph, verified against a direct
+    union-find over the (already exact-Jaccard-verified) pairs."""
+    from ..functions.dedup import connected_components, dedup_near, minhash_lsh_pairs
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    out = dedup_near(docs, threshold=0.5)
+    if docs.count() <= _GUARD_MAX_ROWS:
+        pairs = minhash_lsh_pairs(docs, threshold=0.5).to_pandas()
+        roots = connected_components(pairs)
+        expect_drop = {x for x, r in roots.items() if x != r}
+        got = out.to_pandas()
+        kept = set(got["doc_id"])
+        alldocs = set(docs.to_pandas()["doc_id"])
+        assert kept == alldocs - expect_drop
+        return rd.from_pandas(got.sort_values("doc_id").reset_index(drop=True))
+    return out
+
+
+def vocab_top_tokens(sf_dir: str, k: int = 20) -> "rd.Dataset":
+    """Vocabulary head: top-k whitespace tokens by corpus frequency.
+
+    Pre-aggregated per batch (value_counts inside map_batches) before the
+    groupby-sum exchange — the exchange carries one row per distinct token
+    per block, never the token stream. Deterministic tie-break (n desc,
+    token asc)."""
+    import pyarrow.compute as pc
+
+    def batch_counts(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(t["text"]), pattern=r"\s+"
+        )
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = flat.value_counts()
+        return pa.table(
+            {
+                "token": vc.field("values"),
+                "n": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    counts = (
+        _docs(sf_dir, ["text"])
+        .map_batches(batch_counts, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    top = counts.sort(["n", "token"], descending=[True, False]).limit(k)
+    return top
+
+
 def bpe_token_stats_docs(sf_dir: str) -> "rd.Dataset":
     """BPE-ish token estimate (GPT-2-pretokenizer-style regex count) —
     vectorized RE2 count, SQL-oracle-checked (same RE2 engine in DuckDB)."""
