@@ -526,13 +526,16 @@ def connected_components(pairs: pd.DataFrame, a: str = "doc_a", b: str = "doc_b"
             parent[x], x = r, parent[x]
         return r
 
+    seen: set = set()
     for x, y in zip(pairs[a], pairs[b]):
+        seen.add(x)
+        seen.add(y)
         rx, ry = find(x), find(y)
         if rx != ry:
             # smaller id wins → the survivor is the min id of the component
             lo, hi = (rx, ry) if rx < ry else (ry, rx)
             parent[hi] = lo
-    return {x: find(x) for x in parent}
+    return {x: find(x) for x in seen}
 
 
 def dedup_near(

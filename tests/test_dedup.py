@@ -116,3 +116,38 @@ def test_ngram_jaccard_paths_agree(ray_session):
     pd.testing.assert_frame_equal(bc, kj)
     assert bc.iloc[0]["jaccard"] == 3 / 5  # {a b,b c,c d} of 5 bigrams
     assert bc.iloc[2]["jaccard"] == 0.0    # vs empty doc
+
+
+def test_connected_components_and_dedup_near(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from node_shovel_ray.functions.dedup import connected_components, dedup_near
+
+    # chain 1-2-3, pair 7-9, singleton 5 untouched
+    pairs = pd.DataFrame({"doc_a": [1, 2, 7], "doc_b": [2, 3, 9]})
+    roots = connected_components(pairs)
+    assert roots == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 5, 7, 9], pa.int64()),
+                # three near-identical texts (one component), one pair,
+                # one unique
+                "text": [
+                    "the cat sat on the mat today ok",
+                    "the cat sat on the mat today ok!",
+                    "the cat sat on the mat today ok yes",
+                    "completely different words entirely here now",
+                    "another shared sentence for the pair case",
+                    "another shared sentence for the pair case",
+                ],
+            }
+        )
+    )
+    kept = sorted(dedup_near(docs, threshold=0.5).to_pandas()["doc_id"])
+    assert 5 in kept and 1 in kept and 7 in kept
+    assert 9 not in kept  # exact dup of 7 always dropped
+    assert len(kept) <= 4
