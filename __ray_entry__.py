@@ -136,6 +136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semi_join": relational.semi_join_customers,
         "anti_join": relational.anti_join_customers,
         "median_value_per_type": relational.median_value_per_type,
+        "window_functions_user": relational.window_functions_user,
         "grouped_topk_hours": relational.grouped_topk_hours,
         "distinct_users_per_type": relational.distinct_users_per_type,
         "filter_project": relational.filter_project_revenue,
@@ -239,6 +240,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    round(quantile_disc(value, 0.5), 2) AS median_value
             FROM events GROUP BY 1
+        """,
+        "window_functions_user": """
+            SELECT event_id, user_id,
+                   coalesce(epoch_us(ts) - lag(epoch_us(ts)) OVER w, -1)
+                     AS delta_us,
+                   round(avg(value) OVER (w ROWS BETWEEN 2 PRECEDING
+                                          AND CURRENT ROW), 2) AS mavg_value
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         """,
         "range_join": """
             SELECT e.event_id,

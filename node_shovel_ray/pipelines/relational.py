@@ -392,3 +392,30 @@ def median_value_per_type(sf_dir: str) -> "rd.Dataset":
 
     ev = _read(sf_dir, "events", ["event_type", "value"])
     return keyed_map_blocks(ev, ["event_type"], med)
+
+
+def window_functions_user(sf_dir: str) -> "rd.Dataset":
+    """Row-based window functions per key: lag (microseconds since the
+    user's previous event; -1 for the first) and a 3-row moving average of
+    ``value`` ordered by (ts, event_id) — the ROWS-frame window family,
+    composed as one keyed exchange + vectorized pandas shift/rolling per
+    hash bucket (every user's rows co-located, all users per bucket in one
+    C call). Oracle: SQL lag()/avg() OVER (ROWS 2 PRECEDING)."""
+    from ..stages.keyed import keyed_map_blocks
+
+    def win(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        df["_us"] = df["ts"].astype("int64")  # epoch microseconds
+        g = df.groupby("user_id", sort=False)
+        delta = (df["_us"] - g["_us"].shift(1)).fillna(-1).astype("int64")
+        mavg = (
+            g["value"].rolling(3, min_periods=1).mean().reset_index(level=0, drop=True)
+        )
+        out = df[["event_id", "user_id"]].copy()
+        out["delta_us"] = delta.to_numpy()
+        v = mavg.to_numpy()
+        out["mavg_value"] = np.sign(v) * np.floor(np.abs(v) * 100 + 0.5) / 100
+        return out
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    return keyed_map_blocks(ev, ["user_id"], win)
