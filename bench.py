@@ -171,14 +171,18 @@ def run_once() -> dict:
     ).count()
 
     # cold run spins up workers/actor pools; warm run measures the engine.
+    # NSR_WARM_RUNS>1 → min of N warm runs (least-noise estimate; the warm
+    # band on this shared host spans ~2× with page-cache/object-store state)
     t0 = time.monotonic()
     turns = _flagship(sink_dir)
     cold = time.monotonic() - t0
     shutil.rmtree(sink_dir, ignore_errors=True)
-    t0 = time.monotonic()
-    turns = _flagship(sink_dir)
-    headline = time.monotonic() - t0
-    shutil.rmtree(sink_dir, ignore_errors=True)
+    headline = float("inf")
+    for _ in range(int(os.environ.get("NSR_WARM_RUNS", "1"))):
+        t0 = time.monotonic()
+        turns = _flagship(sink_dir)
+        headline = min(headline, time.monotonic() - t0)
+        shutil.rmtree(sink_dir, ignore_errors=True)
 
     queries = {"flagship": round(headline, 3), "flagship_cold": round(cold, 3)}
     if os.environ.get("NSR_SKIP_SIDE") != "1":
@@ -199,7 +203,14 @@ def run_once() -> dict:
 
 
 def run_scaling() -> dict:
-    """Same job, fresh processes, 8 vs 32 CPUs → scaling efficiency."""
+    """Same job, fresh processes, 8 vs 32 CPUs → scaling efficiency.
+
+    Host throughput on this shared box drifts ±50% across the hour, which
+    swamps a single-pair measurement, so the legs are INTERLEAVED
+    (8, 32, 8, 32 — fresh process each) and the per-level minimum (the
+    least-noise capability estimate) feeds the efficiency ratio. All raw
+    legs are reported for honesty.
+    """
     def sub(ncpu: int) -> dict:
         env = dict(
             os.environ, RAY_GRAFT_CPUS=str(ncpu), NSR_SKIP_SIDE="1"
@@ -214,7 +225,13 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = sub(8), sub(32)
+    pairs = int(os.environ.get("NSR_SCALING_PAIRS", "2"))
+    lo_runs, hi_runs = [], []
+    for _ in range(pairs):
+        lo_runs.append(sub(8))
+        hi_runs.append(sub(32))
+    lo = min(lo_runs, key=lambda r: r["value"])
+    hi = min(hi_runs, key=lambda r: r["value"])
     eff = (lo["value"] / hi["value"]) / (32 / 8)
     return {
         "metric": "scaling_efficiency",
@@ -225,6 +242,8 @@ def run_scaling() -> dict:
         "sec_32cpu": hi["value"],
         "turns_per_sec_8cpu": lo["turns_per_sec"],
         "turns_per_sec_32cpu": hi["turns_per_sec"],
+        "raw_sec_8cpu": [r["value"] for r in lo_runs],
+        "raw_sec_32cpu": [r["value"] for r in hi_runs],
     }
 
 
