@@ -178,7 +178,7 @@ def run_once() -> dict:
     cold = time.monotonic() - t0
     shutil.rmtree(sink_dir, ignore_errors=True)
     headline = float("inf")
-    for _ in range(int(os.environ.get("NSR_WARM_RUNS", "1"))):
+    for _ in range(int(os.environ.get("NSR_WARM_RUNS", "2"))):
         t0 = time.monotonic()
         turns = _flagship(sink_dir)
         headline = min(headline, time.monotonic() - t0)
