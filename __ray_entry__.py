@@ -137,6 +137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anti_join": relational.anti_join_customers,
         "median_value_per_type": relational.median_value_per_type,
         "window_functions_user": relational.window_functions_user,
+        "approx_distinct_users_per_type": relational.approx_distinct_users_per_type,
         "grouped_topk_hours": relational.grouped_topk_hours,
         "distinct_users_per_type": relational.distinct_users_per_type,
         "filter_project": relational.filter_project_revenue,

@@ -1,0 +1,104 @@
+"""Mergeable sketches for pre-aggregated wide operations.
+
+Exact per-group count-distinct (pipelines/relational.distinct_users_per_type)
+must move every distinct (group, value) pair through the exchange; at
+100 TB the sketch version moves a FIXED 2^p bytes per (group, block):
+each block builds HyperLogLog registers per group inside ``map_batches``
+(the combiner), the exchange carries only register vectors, and the final
+reduce is an elementwise max + bias-corrected estimate.
+
+HyperLogLog per Flajolet et al. 2007 (public algorithm), with the standard
+small-range linear-counting correction. Hashing is seeded/deterministic
+(pd.util.hash_array) — re-runs give byte-identical sketches.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+
+def _alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1 + 1.079 / m)
+
+
+def hll_registers(values: np.ndarray, p: int = 12, hash_key: str = "hllsketchseed000") -> np.ndarray:
+    """Values → 2^p uint8 HLL registers (vectorized, deterministic)."""
+    m = 1 << p
+    regs = np.zeros(m, dtype=np.uint8)
+    if len(values) == 0:
+        return regs
+    h = pd.util.hash_array(
+        np.asarray(values, dtype=object), hash_key=hash_key
+    ).astype(np.uint64)
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    w = h & np.uint64((1 << (64 - p)) - 1)
+    # rank = leading-zero count of the (64-p)-bit remainder + 1;
+    # bit_length via frexp is exact for w < 2^53 (here w < 2^52)
+    wf = w.astype(np.float64)
+    exp = np.frexp(wf)[1]  # bit_length of w (0 for w == 0)
+    rank = np.where(w == 0, 64 - p + 1, 64 - p - exp + 1).astype(np.uint8)
+    np.maximum.at(regs, idx, rank)
+    return regs
+
+
+def hll_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return np.maximum(a, b)
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    m = len(regs)
+    est = _alpha(m) * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    if est <= 2.5 * m:
+        zeros = int(np.count_nonzero(regs == 0))
+        if zeros:
+            return m * np.log(m / zeros)  # linear counting
+    return float(est)
+
+
+def approx_count_distinct(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    value_col: str,
+    p: int = 12,
+) -> "ray.data.Dataset":
+    """(group, approx_n_distinct) via per-block HLL combiners.
+
+    The exchange carries one 2^p-byte register row per (group, block) —
+    independent of the number of distinct values — then a per-group
+    elementwise-max reduce and estimate."""
+    from ..stages.keyed import keyed_map_blocks
+
+    def block_sketch(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for g, sub in df.groupby(group_col, sort=False):
+            rows.append((g, hll_registers(sub[value_col].to_numpy(), p=p)))
+        return pd.DataFrame(
+            {
+                group_col: [r[0] for r in rows],
+                "_regs": [r[1].tobytes() for r in rows],
+            }
+        )
+
+    sketches = ds.map_batches(block_sketch, batch_format="pandas")
+
+    def reduce_group(df: pd.DataFrame) -> pd.DataFrame:
+        out_g, out_n = [], []
+        for g, sub in df.groupby(group_col, sort=False):
+            regs = np.zeros(1 << p, dtype=np.uint8)
+            for b in sub["_regs"]:
+                regs = hll_merge(regs, np.frombuffer(b, dtype=np.uint8))
+            out_g.append(g)
+            out_n.append(int(round(hll_estimate(regs))))
+        return pd.DataFrame({group_col: out_g, "approx_n_distinct": out_n})
+
+    return keyed_map_blocks(sketches, [group_col], reduce_group)

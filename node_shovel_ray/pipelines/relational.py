@@ -394,6 +394,31 @@ def median_value_per_type(sf_dir: str) -> "rd.Dataset":
     return keyed_map_blocks(ev, ["event_type"], med)
 
 
+def approx_distinct_users_per_type(sf_dir: str) -> "rd.Dataset":
+    """HyperLogLog per-group count-distinct (functions/sketches.py): the
+    exchange carries fixed-size register rows per (group, block) instead
+    of every distinct pair. Gate-scale guard: estimate within 10% of the
+    exact count (p=12 → ~1.6% typical error)."""
+    from ..functions.sketches import approx_count_distinct
+
+    ev = _read(sf_dir, "events", ["event_type", "user_id"])
+    out = approx_count_distinct(ev, "event_type", "user_id", p=12)
+    if ev.count() <= 1_000_000:
+        got = out.to_pandas().set_index("event_type")["approx_n_distinct"]
+        exact = (
+            distinct_users_per_type(sf_dir)
+            .to_pandas()
+            .set_index("event_type")["n_users"]
+        )
+        for t, n in exact.items():
+            err = abs(got[t] - n) / max(1, n)
+            assert err < 0.1, f"HLL error {err:.3f} for {t}: {got[t]} vs {n}"
+        return rd.from_pandas(
+            got.reset_index().sort_values("event_type").reset_index(drop=True)
+        )
+    return out
+
+
 def window_functions_user(sf_dir: str) -> "rd.Dataset":
     """Row-based window functions per key: lag (microseconds since the
     user's previous event; -1 for the first) and a 3-row moving average of
