@@ -189,3 +189,17 @@ def test_window_stage_duration_config(ray_session):
     ds = rd.from_arrow(pa.table({"ts": pa.array(ts, pa.timestamp("us"))}))
     out = stage(ds).to_pandas().sort_values("window").reset_index(drop=True)
     assert list(out["n"]) == [1, 2]
+
+
+def test_text_input_reads_gzip(ray_session, tmp_path):
+    """Reference file input reads gzip (src/inputs/file.js); the text input
+    inherits Arrow's extension-based auto-decompression."""
+    import gzip
+
+    from node_shovel_ray.pipelines.config import REGISTRY
+
+    p = tmp_path / "log.txt.gz"
+    with gzip.open(p, "wt") as f:
+        f.write("a\nb\n")
+    ds = REGISTRY["input"]["text"]({"path": str(p)})()
+    assert [r["text"] for r in ds.take_all()] == ["a", "b"]
