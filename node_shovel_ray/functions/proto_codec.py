@@ -220,6 +220,14 @@ def decode_message(schema: Schema, class_name: str, data: bytes) -> dict:
 
 def _read_field(schema, rt: str, wt: int, data: bytes, pos: int, f: Field):
     if rt in schema.enums:
+        if wt == 2 and f.repeated:  # packed (proto3 default for enums)
+            n, pos = read_varint(data, pos)
+            end = pos + n
+            vals = []
+            while pos < end:
+                raw, pos = read_varint(data, pos)
+                vals.append(schema.enums[rt].get(raw, raw))
+            return vals, pos
         raw, pos = read_varint(data, pos)
         return schema.enums[rt].get(raw, raw), pos
     if rt in schema.messages:

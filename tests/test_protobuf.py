@@ -172,3 +172,15 @@ def test_yaml_registry_end_to_end(tmp_path):
     rows = stage(ds).to_pandas()
     assert len(rows) == 3
     assert [json.loads(c)["test"] for c in rows["content"]] == ["r0", "r1", "r2"]
+
+
+def test_packed_repeated_enum_decode():
+    schema = parse_proto(
+        "message M { repeated Color cs = 1;"
+        " enum Color { RED = 0; GREEN = 1; BLUE = 2; } }"
+    )
+    packed = bytes([0x0A, 3, 0, 1, 2])
+    unpacked = bytes([0x08, 0, 0x08, 1, 0x08, 2])
+    want = {"cs": ["RED", "GREEN", "BLUE"]}
+    assert decode_message(schema, "M", packed) == want
+    assert decode_message(schema, "M", unpacked) == want
