@@ -71,6 +71,7 @@ class _P:
             ("true", True), ("false", False), ("null", None),
             ("Infinity", float("inf")), ("NaN", float("nan")),
             ("+Infinity", float("inf")), ("-Infinity", float("-inf")),
+            ("+NaN", float("nan")), ("-NaN", float("nan")),
         ):
             if self.s.startswith(lit, self.i):
                 self.i += len(lit)

@@ -192,15 +192,15 @@ def _unpack(buf: memoryview, pos: int) -> tuple[Any, int]:
         return bytes(raw), pos
     if b in (0xC7, 0xC8, 0xC9):  # ext 8/16/32
         n, pos = _unpack_len(buf, pos, b - 0xC7)
-        code = struct.unpack_from("b", buf, pos)[0]
-        raw, pos = _take(buf, pos + 1, n)
-        return ExtType(code, bytes(raw)), pos
+        code_raw, pos = _take(buf, pos, 1)
+        raw, pos = _take(buf, pos, n)
+        return ExtType(struct.unpack("b", code_raw)[0], bytes(raw)), pos
     if b == 0xCA:
-        v = struct.unpack_from(">f", buf, pos)[0]
-        return v, pos + 4
+        raw, pos = _take(buf, pos, 4)
+        return struct.unpack(">f", raw)[0], pos
     if b == 0xCB:
-        v = struct.unpack_from(">d", buf, pos)[0]
-        return v, pos + 8
+        raw, pos = _take(buf, pos, 8)
+        return struct.unpack(">d", raw)[0], pos
     if b in (0xCC, 0xCD, 0xCE, 0xCF):  # uint 8/16/32/64
         size = 1 << (b - 0xCC)
         raw, pos = _take(buf, pos, size)
@@ -211,9 +211,9 @@ def _unpack(buf: memoryview, pos: int) -> tuple[Any, int]:
         return int.from_bytes(raw, "big", signed=True), pos
     if b in _EXT_LEN_FIX:  # fixext 1/2/4/8/16
         n = _EXT_LEN_FIX[b]
-        code = struct.unpack_from("b", buf, pos)[0]
-        raw, pos = _take(buf, pos + 1, n)
-        return ExtType(code, bytes(raw)), pos
+        code_raw, pos = _take(buf, pos, 1)
+        raw, pos = _take(buf, pos, n)
+        return ExtType(struct.unpack("b", code_raw)[0], bytes(raw)), pos
     if b in (0xD9, 0xDA, 0xDB):  # str 8/16/32
         n, pos = _unpack_len(buf, pos, b - 0xD9)
         raw, pos = _take(buf, pos, n)

@@ -127,3 +127,19 @@ def test_decode_flags_bad_rows():
     )
     dec = decode_msgpack(t)
     assert dec["decode_ok"].to_pylist() == [True, False, False]
+
+
+def test_truncated_payloads_flag_not_crash():
+    """Truncated float/ext/str payloads must set decode_ok=false, never
+    raise out of the batch."""
+    bad = [
+        bytes([0xCB, 0, 0]),          # truncated float64
+        bytes([0xCA, 0]),             # truncated float32
+        bytes([0xD6, 1]),             # fixext4 missing body
+        bytes([0xC7, 5, 1, 0, 0]),    # ext8 short body
+        bytes([0xD9, 10, 0x61]),      # str8 short body
+        bytes([0xC4, 4, 0x00]),       # bin8 short body
+    ]
+    t = pa.table({"payload": pa.array(bad + [packb({"k": 1})], pa.binary())})
+    out = decode_msgpack(t)
+    assert out["decode_ok"].to_pylist() == [False] * len(bad) + [True]
