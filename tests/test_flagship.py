@@ -128,3 +128,32 @@ def test_skew_aware_flagship_equal(tiny_tables):
         a.sort_values(cols).reset_index(drop=True),
         b.sort_values(cols).reset_index(drop=True),
     )
+
+
+def test_nack_analogue_transient_failure_retried(ray_session, tmp_path):
+    """The reference's nack/requeue (src/core/node.js retry path) maps to
+    Ray task retry over pure operators: a transiently-failing batch task
+    is re-executed (retry_exceptions) and, because every stage is a pure
+    function of its input, the retried output is identical — no
+    double-processing, no loss."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    marker = tmp_path / "failed_once"
+
+    def flaky(t: pa.Table) -> pa.Table:
+        if not marker.exists():
+            marker.write_text("x")
+            raise RuntimeError("transient sink unavailable (nack)")
+        return t
+
+    ds = rd.range(1000).map_batches(
+        flaky,
+        batch_format="pyarrow",
+        batch_size=None,
+        retry_exceptions=True,
+        max_retries=3,
+    )
+    out = ds.sum("id")
+    assert out == sum(range(1000))
+    assert marker.exists()  # the failure really happened, then was retried
