@@ -88,8 +88,14 @@ def vocab_top_tokens(sf_dir: str, k: int = 20) -> "rd.Dataset":
         .groupby("token")
         .aggregate(Sum("n", alias_name="n"))
     )
-    top = counts.sort(["n", "token"], descending=[True, False]).limit(k)
-    return top
+
+    def local_topk(df):
+        # partial top-k per block: the global sort then sees only
+        # k × n_blocks rows, not the full distinct-token table
+        return df.sort_values(["n", "token"], ascending=[False, True]).head(k)
+
+    pruned = counts.map_batches(local_topk, batch_format="pandas")
+    return pruned.sort(["n", "token"], descending=[True, False]).limit(k)
 
 
 def bpe_token_stats_docs(sf_dir: str) -> "rd.Dataset":
