@@ -79,7 +79,7 @@ def _side_queries() -> dict[str, float]:
 
     from node_shovel_ray.functions.dedup import dedup_exact_counts, minhash_lsh_pairs
     from node_shovel_ray.functions.similarity import knn_brute_force
-    from node_shovel_ray.functions.textstats import QualityScore, token_count
+    from node_shovel_ray.functions.textstats import quality_score, token_count
     from node_shovel_ray.pipelines import flagship
 
     out: dict[str, float] = {}
@@ -129,7 +129,7 @@ def _side_queries() -> dict[str, float]:
         "textstats_docs",
         lambda: rd.read_parquet(os.path.join(SF_DIR, "documents.parquet"))
         .map_batches(token_count, batch_format="pyarrow")
-        .map_batches(QualityScore, batch_format="pandas", concurrency=(1, 8))
+        .map_batches(quality_score, batch_format="pyarrow")
         .count(),
     )
     return out

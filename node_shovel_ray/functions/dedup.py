@@ -245,16 +245,20 @@ def ngram_jaccard(
     also exposed standalone: (doc_a, doc_b) rows + a texts table →
     (doc_a, doc_b, jaccard).
 
-    Never materializes the corpus. First a semi-join filter: broadcast the
-    distinct candidate doc-id set (O(#pairs) ints) and stream-filter the
-    corpus down to candidate texts only — no shuffle of the wide text
-    rows. Then:
+    Never materializes the corpus. First a semi-join filter: the distinct
+    candidate doc-id set (O(#pairs) values) is captured in a task closure
+    (small enough that Ray ships it with the task spec — cheaper than a
+    pool) and stream-filters the corpus down to candidate texts only — no
+    shuffle of the wide text rows. Then:
 
-    - ``≤ broadcast_limit`` candidate docs → broadcast the FILTERED texts
-      (``ray.put`` once, read per actor; memory is O(candidates), never
-      O(corpus)) and verify in one streaming pass;
+    - ``≤ broadcast_limit`` candidate docs → the FILTERED texts are
+      captured in the verify task's closure (memory is O(candidates),
+      never O(corpus)) and verified in one streaming pass;
     - else → two distributed keyed joins attach text_a / text_b onto the
-      pair rows (per-bucket memory bounded by bucket size).
+      pair rows (per-bucket memory bounded by bucket size). NOTE: this
+      fallback path hash-joins on int64 ids (``_attach_text`` casts); with
+      non-integer doc ids keep the candidate count under
+      ``broadcast_limit`` or pre-map ids to int64.
     """
     import ray
 
@@ -262,20 +266,25 @@ def ngram_jaccard(
 
     concurrency = concurrency or default_pool()
     cand_ids = pairs.select_columns(["doc_a", "doc_b"]).to_pandas()
-    ids = np.unique(
-        np.concatenate(
-            [cand_ids["doc_a"].to_numpy(np.int64), cand_ids["doc_b"].to_numpy(np.int64)]
+    # semi-join keyset on the column's NATIVE type (string ids work here;
+    # only the distributed _attach_text fallback requires int64)
+    ids = (
+        np.unique(
+            np.concatenate(
+                [cand_ids["doc_a"].to_numpy(), cand_ids["doc_b"].to_numpy()]
+            )
         )
-    ) if len(cand_ids) else np.array([], dtype=np.int64)
-    # candidate-id set is small (O(#pairs) int64) → a task closure beats an
-    # actor pool here: no pool spin-up, and Ray ships the closure once per
-    # task from the owning worker
-    idset = pa.array(ids, pa.int64())
+        if len(cand_ids)
+        else np.array([], dtype=np.int64)
+    )
+    idset = pa.array(ids)
 
     def filter_to_candidates(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        return t.filter(pc.is_in(pc.cast(t[id_col], pa.int64()), value_set=idset))
+        col = t[id_col]
+        vs = idset if idset.type == col.type else idset.cast(col.type)
+        return t.filter(pc.is_in(col, value_set=vs))
 
     cand_texts = texts.map_batches(filter_to_candidates, batch_format="pyarrow")
 

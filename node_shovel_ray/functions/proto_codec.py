@@ -233,6 +233,10 @@ def _read_field(schema, rt: str, wt: int, data: bytes, pos: int, f: Field):
     if rt in schema.messages:
         n, pos = read_varint(data, pos)
         sub = data[pos : pos + n]
+        if len(sub) != n:
+            # a buffer truncated inside the submessage must reject the row,
+            # not decode partially with silently missing fields
+            raise EOFError("truncated length-delimited field")
         return decode_message(schema, rt, sub), pos + n
     if rt in _VARINT_TYPES:
         if wt == 2 and f.repeated:  # packed

@@ -7,8 +7,6 @@ are first-class here per the 100 TB training-data mandate.
 
 from __future__ import annotations
 
-import re
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -23,6 +21,34 @@ _STOPWORDS = {
     "fr": {"le", "la", "les", "et", "est", "un", "une", "pas", "pour", "que"},
     "es": {"el", "la", "los", "y", "es", "un", "una", "no", "por", "que"},
 }
+
+# Explicit ASCII classes so the engine (Arrow/RE2) and the DuckDB oracle
+# (also RE2) agree byte-for-byte. Python re's unicode \w counts 'é' as a
+# word char while RE2's ASCII \w does not — an explicit class removes the
+# ambiguity on non-ASCII text.
+_WORD_SPLIT = "[^a-zA-Z]+"
+_PUNCT_RE = r"[^A-Za-z0-9_\s]"
+_LANG_WORD_SPLIT = "[^a-zA-Zäöüéèêàáíóúñç]+"
+
+
+def _flat_words(col, split_pattern: str):
+    """Column → (flat word values, list offsets). Splitting on the
+    complement class == findall of the word class, with empty strings at
+    boundaries (filtered by the caller via a nonempty mask)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    arr = pc.fill_null(arr, "")
+    words = pc.split_pattern_regex(arr, pattern=split_pattern)
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    offsets = np.asarray(words.offsets)
+    return words.flatten(), offsets
+
+
+def _seg_sum(vals: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Per-row sums of a flat per-word array (cumsum-diff: exact for empty
+    rows, unlike reduceat)."""
+    cs = np.concatenate([[0], np.cumsum(vals)])
+    return cs[offsets[1:]] - cs[offsets[:-1]]
 
 
 def token_count(batch: pa.Table, column: str = "text", out: str = "n_tokens") -> pa.Table:
@@ -50,68 +76,108 @@ def bpe_ish_token_count(
     return batch.append_column(out, pc.cast(pc.list_value_length(toks), pa.int64()))
 
 
-class QualityScore:
-    """Actor-pool stage: length/punct/stopword-ratio quality heuristics.
+def quality_score(batch: pa.Table, column: str = "text") -> pa.Table:
+    """Length/punct/stopword-ratio quality heuristics — fully vectorized
+    (one regex split, flat-array stopword membership via ``pc.is_in``,
+    cumsum-diff per-row sums). A task closure, not an actor pool: there is
+    no per-actor state worth a pool's ~2 s spin-up."""
+    s = pc.fill_null(
+        batch[column].combine_chunks()
+        if isinstance(batch[column], pa.ChunkedArray)
+        else batch[column],
+        "",
+    )
+    n_chars = pc.utf8_length(s).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat, offs = _flat_words(s, _WORD_SPLIT)
+    nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    wlens = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+    stopset = pa.array(sorted(_STOPWORDS["en"]), pa.string())
+    in_stop = pc.is_in(pc.utf8_lower(flat), value_set=stopset).to_numpy(
+        zero_copy_only=False
+    )
+    n_words = _seg_sum(nonempty.astype(np.int64), offs)
+    n_stop = _seg_sum((in_stop & nonempty).astype(np.int64), offs)
+    wlen_sum = _seg_sum(np.where(nonempty, wlens, 0), offs)
+    n_punct = (
+        pc.count_substring_regex(s, pattern=_PUNCT_RE)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    punct_ratio = n_punct / np.maximum(n_chars, 1)
+    stop_ratio = n_stop / np.maximum(n_words, 1)
+    mean_word_len = np.where(n_words > 0, wlen_sum / np.maximum(n_words, 1), 0.0)
+    # simple composite: plausible-prose score in [0,1]
+    quality = (
+        0.4 * (np.clip(stop_ratio, 0, 0.6) / 0.6)
+        + 0.3 * (1 - np.clip(punct_ratio, 0, 0.5) / 0.5)
+        + 0.3 * ((np.clip(mean_word_len, 2, 8) - 2) / 6)
+    )
+    return (
+        batch.append_column("n_chars_q", pa.array(n_chars, pa.int64()))
+        .append_column("n_words", pa.array(n_words, pa.int64()))
+        .append_column("punct_ratio", pa.array(punct_ratio, pa.float64()))
+        .append_column("stop_ratio", pa.array(stop_ratio, pa.float64()))
+        .append_column("mean_word_len", pa.array(mean_word_len, pa.float64()))
+        .append_column("quality", pa.array(quality, pa.float64()))
+    )
 
-    Compiled regexes + stopword sets built once per actor (__init__), scored
-    per batch with pandas str kernels — the shovel closure-state idiom as an
-    actor pool."""
+
+def lang_id(batch: pa.Table, column: str = "text", out: str = "lang_pred") -> pa.Table:
+    """Stopword-profile language ID — vectorized: one split, one ``is_in``
+    per language profile, argmax with first-wins tie-break (same order as
+    the profile dict, mirrored by the SQL oracle's CASE ladder)."""
+    s = (
+        batch[column].combine_chunks()
+        if isinstance(batch[column], pa.ChunkedArray)
+        else batch[column]
+    )
+    flat, offs = _flat_words(s, _LANG_WORD_SPLIT)
+    lower = pc.utf8_lower(flat)
+    nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    n_words = _seg_sum(nonempty.astype(np.int64), offs)
+    langs = list(_STOPWORDS)
+    scores = np.stack(
+        [
+            _seg_sum(
+                (
+                    pc.is_in(
+                        lower, value_set=pa.array(sorted(_STOPWORDS[lg]), pa.string())
+                    ).to_numpy(zero_copy_only=False)
+                    & nonempty
+                ).astype(np.int64),
+                offs,
+            )
+            for lg in langs
+        ],
+        axis=1,
+    )  # (n_rows, n_langs)
+    best = scores.argmax(axis=1)  # first max wins ties, like the scan loop
+    pred = np.array(langs, dtype=object)[best]
+    pred[(n_words == 0) | (scores.max(axis=1) == 0)] = "unknown"
+    return batch.append_column(out, pa.array(pred, pa.string()))
+
+
+class QualityScore:
+    """Back-compat pandas wrapper over :func:`quality_score`."""
 
     def __init__(self, column: str = "text"):
         self.column = column
-        self.word_re = re.compile(r"[a-zA-Z]+")
-        self.punct_re = re.compile(r"[^\w\s]")
-        self.stop = _STOPWORDS["en"]
 
     def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-        s = b[self.column].fillna("")
-        n_chars = s.str.len()
-        words = s.str.findall(self.word_re)
-        n_words = words.str.len()
-        n_punct = s.str.count(self.punct_re)
-        stop_ratio = words.map(
-            lambda ws: sum(1 for w in ws if w.lower() in self.stop) / max(1, len(ws))
-        )
-        mean_word_len = words.map(lambda ws: np.mean([len(w) for w in ws]) if ws else 0.0)
-        b = b.copy()
-        b["n_chars_q"] = n_chars.astype("int64")
-        b["n_words"] = n_words.astype("int64")
-        b["punct_ratio"] = (n_punct / n_chars.clip(lower=1)).astype("float64")
-        b["stop_ratio"] = stop_ratio.astype("float64")
-        b["mean_word_len"] = mean_word_len.astype("float64")
-        # simple composite: plausible-prose score in [0,1]
-        b["quality"] = (
-            0.4 * (b["stop_ratio"].clip(0, 0.6) / 0.6)
-            + 0.3 * (1 - (b["punct_ratio"].clip(0, 0.5) / 0.5))
-            + 0.3 * ((b["mean_word_len"].clip(2, 8) - 2) / 6)
-        ).astype("float64")
-        return b
+        t = quality_score(pa.Table.from_pandas(b, preserve_index=False), self.column)
+        return t.to_pandas()
 
 
 class LangId:
-    """Actor-pool stage: stopword-profile language ID heuristic."""
+    """Back-compat pandas wrapper over :func:`lang_id`."""
 
     def __init__(self, column: str = "text", out: str = "lang_pred"):
         self.column = column
         self.out = out
-        self.word_re = re.compile(r"[a-zA-Zäöüéèêàáíóúñç]+")
-        self.profiles = {k: v for k, v in _STOPWORDS.items()}
 
     def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-        def pred(text: str) -> str:
-            ws = [w.lower() for w in self.word_re.findall(text or "")]
-            if not ws:
-                return "unknown"
-            best, best_score = "unknown", 0
-            for lang, stop in self.profiles.items():
-                score = sum(1 for w in ws if w in stop)
-                if score > best_score:
-                    best, best_score = lang, score
-            return best
-
-        b = b.copy()
-        b[self.out] = b[self.column].map(pred)
-        return b
+        t = lang_id(pa.Table.from_pandas(b, preserve_index=False), self.column, self.out)
+        return t.to_pandas()
 
 
 def fingerprint(

@@ -319,7 +319,14 @@ def _pl_window(o):
     from ..functions.template import parse_duration_s
     from ..stages.window import tumbling_aggregate
 
-    size_s = int(parse_duration_s(o.get("size", "1h")))
+    size_raw = parse_duration_s(o.get("size", "1h"))
+    size_s = int(size_raw)
+    if size_s < 1 or size_s != size_raw:
+        # sub-second / fractional-second sizes would silently truncate
+        # (and 0 would floor-divide every row into the epoch-0 window)
+        raise ValueError(
+            f"window size must be a whole number of seconds >= 1s, got {o.get('size')!r}"
+        )
     keys = o.get("keys", [])
     return lambda ds: tumbling_aggregate(
         ds, keys=keys, ts_col=o.get("ts_col", "ts"), size_s=size_s,

@@ -14,7 +14,7 @@ import ray.data as rd
 
 from ..functions.dedup import dedup_exact_counts, minhash_lsh_pairs, simhash_pairs
 from ..functions.similarity import knn_brute_force, knn_ivf
-from ..functions.textstats import LangId, QualityScore, fingerprint, token_count
+from ..functions.textstats import fingerprint, lang_id, quality_score, token_count
 from ..stages.keyed import default_pool
 
 
@@ -111,15 +111,11 @@ def bpe_token_stats_docs(sf_dir: str) -> "rd.Dataset":
 
 
 def quality_docs(sf_dir: str) -> "rd.Dataset":
-    out = (
-        _docs(sf_dir, ["doc_id", "text"])
-        .map_batches(QualityScore, batch_format="pandas", concurrency=default_pool())
-        .select_columns(["doc_id", "n_words", "punct_ratio", "stop_ratio", "quality"])
-    )
-
-    def rounded(t: pa.Table) -> pa.Table:
+    def fn(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
+        t = quality_score(t)
+        t = t.select(["doc_id", "n_words", "punct_ratio", "stop_ratio", "quality"])
         for c in ("punct_ratio", "stop_ratio", "quality"):
             t = t.set_column(
                 t.schema.get_field_index(c), c,
@@ -127,13 +123,16 @@ def quality_docs(sf_dir: str) -> "rd.Dataset":
             )
         return t
 
-    return out.map_batches(rounded, batch_format="pyarrow", zero_copy_batch=True)
+    # task closure, single fused stage — no actor-pool spin-up
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )
 
 
 def langid_docs(sf_dir: str) -> "rd.Dataset":
     return (
         _docs(sf_dir, ["doc_id", "text"])
-        .map_batches(LangId, batch_format="pandas", concurrency=default_pool())
+        .map_batches(lang_id, batch_format="pyarrow", zero_copy_batch=True)
         .select_columns(["doc_id", "lang_pred"])
     )
 

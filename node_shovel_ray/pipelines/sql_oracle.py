@@ -127,7 +127,11 @@ Q_SINK_COUNTS = (
 
 # ------------------------------------------------------- corpus text oracles
 # Generated from the SAME stopword profiles the engine uses
-# (functions/textstats._STOPWORDS) so the two twins cannot drift.
+# (functions/textstats._STOPWORDS) so the stopword side cannot drift.
+# Regex semantics CAN drift between engines: Python re's \w is unicode,
+# DuckDB/Arrow RE2's \w is ASCII. Both sides therefore use the explicit
+# ASCII class [^A-Za-z0-9_\s] (textstats._PUNCT_RE) — identical in RE2 on
+# both engines, including for non-ASCII documents.
 
 def _sql_list(words) -> str:
     return "[" + ", ".join(f"'{w}'" for w in words) + "]"
@@ -142,7 +146,7 @@ WITH w AS (
   SELECT doc_id,
     length(text) AS n_chars,
     regexp_extract_all(text, '[a-zA-Z]+') AS words,
-    length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_punct
+    length(text) - length(regexp_replace(text, '[^A-Za-z0-9_\s]', '', 'g')) AS n_punct
   FROM documents
 ), c AS (
   SELECT doc_id,

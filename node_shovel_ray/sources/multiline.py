@@ -75,13 +75,22 @@ def split_file_lines(
 
 
 def stitch_fragments(
-    frags: list[tuple[str | None, str | None, str | None]],
+    frags: list[tuple],
 ) -> list[str]:
     """Glue per-file (head, tail, bridge) fragments in file order into the
-    records that span file boundaries (reference stack-carry semantics)."""
+    records that span file boundaries (reference stack-carry semantics).
+
+    Each entry is ``(head, tail, bridge)`` or ``(head, tail, bridge,
+    empty)``: ``empty=True`` marks a ZERO-LINE file (e.g. an empty rotated
+    segment), which contains no blank line and therefore must NOT flush a
+    carried record — it is transparent. A file whose lines are all blank
+    still flushes (it does contain a blank)."""
     out: list[str] = []
     carry: str | None = None
-    for head, tail, bridge in frags:
+    for frag in frags:
+        head, tail, bridge = frag[0], frag[1], frag[2]
+        if len(frag) > 3 and frag[3]:
+            continue  # empty file: the open record continues across it
         if bridge is not None:
             carry = f"{carry}\n{bridge}" if carry is not None else bridge
             continue
@@ -111,6 +120,13 @@ class _FileSplitter:
             with open(path, encoding="utf-8") as f:
                 lines = f.read().splitlines()
             recs, head, tail, bridge = split_file_lines(lines)
+            if not lines:
+                # zero-line file: emit a marker so the stitcher carries the
+                # open record through instead of flushing it
+                ords.append(o)
+                kinds.append("empty")
+                texts.append("")
+                continue
             for r in recs:
                 ords.append(o)
                 kinds.append("record")
@@ -162,6 +178,7 @@ def read_multiline_text(
             by_ord.get(i, {}).get("head"),
             by_ord.get(i, {}).get("tail"),
             by_ord.get(i, {}).get("bridge"),
+            "empty" in by_ord.get(i, {}),
         )
         for i in range(len(files))
     ]

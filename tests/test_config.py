@@ -191,6 +191,19 @@ def test_window_stage_duration_config(ray_session):
     assert list(out["n"]) == [1, 2]
 
 
+def test_window_stage_rejects_subsecond_size():
+    """ADVICE r2: '500ms' used to truncate to size_s=0 and floor-divide
+    every row into the epoch-0 window; sub-/fractional-second sizes must
+    raise instead."""
+    import pytest
+
+    from node_shovel_ray.pipelines.config import REGISTRY
+
+    for bad in ("500ms", "1500ms"):
+        with pytest.raises(ValueError, match="whole number of seconds"):
+            REGISTRY["pipeline"]["window"]({"size": bad, "keys": []})
+
+
 def test_text_input_reads_gzip(ray_session, tmp_path):
     """Reference file input reads gzip (src/inputs/file.js); the text input
     inherits Arrow's extension-based auto-decompression."""

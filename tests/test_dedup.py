@@ -118,6 +118,22 @@ def test_ngram_jaccard_paths_agree(ray_session):
     assert bc.iloc[2]["jaccard"] == 0.0    # vs empty doc
 
 
+def test_ngram_jaccard_string_ids(ray_session):
+    """ADVICE r2: the broadcast path must accept non-integer doc ids (the
+    semi-join keys on the column's native Arrow type)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from node_shovel_ray.functions.dedup import ngram_jaccard
+
+    texts = rd.from_arrow(
+        pa.table({"doc_id": ["d0", "d1", "d2"], "text": ["a b c", "a b d", "x y"]})
+    )
+    pairs = rd.from_arrow(pa.table({"doc_a": ["d0"], "doc_b": ["d1"]}))
+    got = ngram_jaccard(pairs, texts, k=2, concurrency=(1, 2)).to_pandas()
+    assert got["jaccard"].tolist() == [1 / 3]  # {a b} of {a b, b c, b d}
+
+
 def test_connected_components_and_dedup_near(ray_session):
     import pandas as pd
     import pyarrow as pa

@@ -58,6 +58,29 @@ def test_read_multiline_matches_batch_local_single_file(ray_session, tmp_path):
     assert got == local == sorted(["a\nb", "c", "d\ne\nf"])
 
 
+def test_stitch_empty_file_is_transparent():
+    """ADVICE r2: an empty rotated-log segment contains no blank line, so a
+    record spanning it must glue across — only a file that actually holds a
+    blank flushes."""
+    assert stitch_fragments(
+        [(None, "part1", None), (None, None, None, True), ("part2", None, None)]
+    ) == ["part1\npart2"]
+    # blank-only file (not empty) still flushes
+    assert stitch_fragments(
+        [(None, "part1", None), (None, None, None, False), ("part2", None, None)]
+    ) == ["part1", "part2"]
+
+
+def test_read_multiline_empty_segment_glues(ray_session, tmp_path):
+    d = tmp_path / "logs3"
+    d.mkdir()
+    (d / "a.txt").write_text("part1\n")  # open tail
+    (d / "b.txt").write_text("")         # zero-byte rotated segment
+    (d / "c.txt").write_text("part2\n\nr3\n")
+    got = sorted(read_multiline_text(str(d)).to_pandas()["text"])
+    assert got == sorted(["part1\npart2", "r3"])
+
+
 def test_read_multiline_blank_boundary_no_glue(ray_session, tmp_path):
     d = tmp_path / "logs2"
     d.mkdir()

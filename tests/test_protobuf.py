@@ -174,6 +174,19 @@ def test_yaml_registry_end_to_end(tmp_path):
     assert [json.loads(c)["test"] for c in rows["content"]] == ["r0", "r1", "r2"]
 
 
+def test_truncated_embedded_message_rejects():
+    """ADVICE r2: a buffer cut inside a nested message must reject (EOFError)
+    rather than decode partially with silently missing fields."""
+    import pytest
+
+    schema = parse_proto(
+        "message Outer { Inner i = 1; message Inner { string s = 1; } }"
+    )
+    full = encode_message(schema, "Outer", {"i": {"s": "hello world"}})
+    with pytest.raises(EOFError, match="truncated"):
+        decode_message(schema, "Outer", full[:-4])
+
+
 def test_packed_repeated_enum_decode():
     schema = parse_proto(
         "message M { repeated Color cs = 1;"

@@ -47,6 +47,36 @@ def test_langid_heuristic():
     assert out["lang_pred"].tolist()[3] == "unknown"
 
 
+def test_quality_punct_matches_duckdb_on_non_ascii():
+    """ADVICE r2: Python-unicode \\w vs RE2-ASCII \\w diverged on non-ASCII
+    text. Both sides now use the explicit class [^A-Za-z0-9_\\s]; pin the
+    agreement on the exact strings that used to drift."""
+    import duckdb
+
+    from node_shovel_ray.functions.textstats import quality_score
+
+    texts = ["café ok", "é中文!", "plain ascii, punct!", ""]
+    t = quality_score(pa.table({"text": pa.array(texts)}))
+    got = dict(zip(texts, (np.asarray(t["n_chars_q"]) * np.asarray(t["punct_ratio"])).round().astype(int)))
+    con = duckdb.connect()
+    for s in texts:
+        (n_punct,) = con.execute(
+            r"SELECT length(?) - length(regexp_replace(?, '[^A-Za-z0-9_\s]', '', 'g'))",
+            [s, s],
+        ).fetchone()
+        assert got[s] == n_punct, (s, got[s], n_punct)
+
+
+def test_vectorized_matches_class_wrappers():
+    """quality_score/lang_id (Arrow task fns) == QualityScore/LangId
+    (pandas wrappers) on mixed content incl. empty + null rows."""
+    df = pd.DataFrame({"text": ["the cat is on the mat", "", None, "123 !!", "der Hund und die Katze"]})
+    q = QualityScore()(df.copy())
+    l = LangId()(df.copy())
+    assert list(q.columns[-6:]) == ["n_chars_q", "n_words", "punct_ratio", "stop_ratio", "mean_word_len", "quality"]
+    assert l["lang_pred"].tolist() == ["en", "unknown", "unknown", "unknown", "de"]
+
+
 def test_fingerprint_stability():
     base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
     t = pa.table({"text": pa.array([base, base, base + " tail-change"])})
