@@ -148,6 +148,99 @@ def cosine_pairs_bruteforce(
     )
 
 
+def cosine_pairs_tiled(
+    ds: "ray.data.Dataset",
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_tiles: int = 8,
+) -> "ray.data.Dataset":
+    """Exact embedding-cosine near-dup pairs WITHOUT materializing the
+    corpus — the scale-correct replacement for
+    :func:`cosine_pairs_bruteforce` (same answer, different plan).
+
+    Standard distributed all-pairs tiling: every vector is hashed to one of
+    ``n_tiles`` tiles and replicated to each unordered tile pair it
+    participates in (``n_tiles`` copies per row → communication
+    O(N × n_tiles × d)); one keyed exchange co-locates each tile pair, and
+    the per-group kernel is a single float64 GEMM over
+    O(N / n_tiles)-sized sides. Memory per task is O((N / n_tiles) × d) —
+    bounded by the tile count, never the corpus. Diagonal groups compute
+    the upper triangle; off-diagonal groups the full cross product; pair
+    ids are normalized (a < b) so no pair is emitted twice.
+    """
+    from ..stages.keyed import keyed_map_blocks
+
+    T = int(n_tiles)
+
+    def expand(t: pa.Table) -> pa.Table:
+        n = len(t)
+        ids = t[id_col].to_numpy()
+        tiles = (
+            pd.util.hash_array(np.ascontiguousarray(ids)) % np.uint64(T)
+        ).astype(np.int64)
+        m = _norm(_to_matrix(t[vec_col]))
+        rep_tile = np.repeat(tiles, T)
+        other = np.tile(np.arange(T, dtype=np.int64), n)
+        return pa.table(
+            {
+                id_col: pa.array(np.repeat(ids, T)),
+                "_tile": pa.array(rep_tile),
+                "_ga": pa.array(np.minimum(rep_tile, other)),
+                "_gb": pa.array(np.maximum(rep_tile, other)),
+                "_vec": pa.array(
+                    list(np.repeat(m, T, axis=0)), pa.list_(pa.float64())
+                ),
+            }
+        )
+
+    expanded = ds.select_columns([id_col, vec_col]).map_batches(
+        expand, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def tile_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_s = [], [], []
+        for (ga, gb), g in df.groupby(["_ga", "_gb"], sort=False):
+            if ga == gb:
+                # diagonal: each tile's rows appear once; upper triangle
+                g = g.drop_duplicates(subset=[id_col])
+                ids = g[id_col].to_numpy()
+                m = np.stack(g["_vec"].to_numpy())
+                sims = m @ m.T
+                mask = np.triu(sims >= threshold, k=1)
+                ia, ib = np.nonzero(mask)  # only passing pairs materialize
+                a, b, s = ids[ia], ids[ib], sims[ia, ib]
+            else:
+                A = g[g["_tile"] == ga]
+                B = g[g["_tile"] == gb]
+                if not len(A) or not len(B):
+                    continue
+                ma = np.stack(A["_vec"].to_numpy())
+                mb = np.stack(B["_vec"].to_numpy())
+                sims = ma @ mb.T
+                ia, ib = np.nonzero(sims >= threshold)
+                a, b, s = (
+                    A[id_col].to_numpy()[ia],
+                    B[id_col].to_numpy()[ib],
+                    sims[ia, ib],
+                )
+            out_a.append(np.minimum(a, b))
+            out_b.append(np.maximum(a, b))
+            out_s.append(s)
+        if not out_a:
+            return pd.DataFrame(
+                {"vec_a": pd.Series([], dtype="int64"),
+                 "vec_b": pd.Series([], dtype="int64"),
+                 "sim": pd.Series([], dtype="float64")}
+            )
+        return pd.DataFrame(
+            {"vec_a": np.concatenate(out_a), "vec_b": np.concatenate(out_b),
+             "sim": np.concatenate(out_s)}
+        )
+
+    return keyed_map_blocks(expanded, ["_ga", "_gb"], tile_pairs)
+
+
 def cosine_pairs_lsh(
     ds: "ray.data.Dataset",
     threshold: float,

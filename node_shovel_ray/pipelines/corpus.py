@@ -183,10 +183,15 @@ def simhash_pairs_docs(sf_dir: str) -> "rd.Dataset":
 
 
 def embed_neardup(sf_dir: str, threshold: float = 0.35) -> pa.Table:
-    """Embedding-cosine near-dup pairs (brute-force exactness baseline)."""
-    from ..functions.similarity import cosine_pairs_bruteforce
+    """Embedding-cosine near-dup pairs — EXACT, via the tiled block×block
+    keyed exchange (functions/similarity.cosine_pairs_tiled): same answer
+    as the brute-force broadcast but per-task memory is O(N / n_tiles × d),
+    so the oracle-checked path is also the 100 TB path. The broadcast
+    variant remains as a test-only cross-check
+    (tests/test_similarity.py: tiled == brute)."""
+    from ..functions.similarity import cosine_pairs_tiled
 
-    got = cosine_pairs_bruteforce(
+    got = cosine_pairs_tiled(
         rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet")),
         threshold=threshold,
     ).to_pandas()

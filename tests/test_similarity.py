@@ -26,6 +26,40 @@ def test_knn_brute_force_exact():
         assert have == want
 
 
+def test_tiled_pairs_match_bruteforce():
+    """cosine_pairs_tiled (the scale path: tile exchange, no corpus
+    materialization) must produce EXACTLY the brute-force broadcast's
+    pairs — ids and sims — at several tile counts, including tile counts
+    larger than the corpus's natural block count."""
+    import pandas as pd
+
+    from node_shovel_ray.functions.similarity import (
+        cosine_pairs_bruteforce,
+        cosine_pairs_tiled,
+    )
+
+    t, mat, ids = _corpus()
+
+    def canon(df):
+        return (
+            df.sort_values(["vec_a", "vec_b"])
+            .reset_index(drop=True)
+            .astype({"vec_a": "int64", "vec_b": "int64"})
+        )
+
+    brute = canon(
+        cosine_pairs_bruteforce(rd.from_arrow(t), threshold=0.35, concurrency=2)
+        .to_pandas()
+    )
+    assert len(brute) > 0
+    for n_tiles in (1, 3, 8):
+        tiled = canon(
+            cosine_pairs_tiled(rd.from_arrow(t), threshold=0.35, n_tiles=n_tiles)
+            .to_pandas()
+        )
+        pd.testing.assert_frame_equal(tiled, brute, check_exact=False, rtol=1e-12)
+
+
 def test_knn_ivf_recall():
     t, mat, ids = _corpus()
     q = mat[5:8]
