@@ -281,31 +281,140 @@ def union_event_extremes(sf_dir: str) -> "rd.Dataset":
     return keyed_map_blocks(u, ["event_id"], first_per_key_block(["event_id"]))
 
 
-def range_join_events_orders(sf_dir: str, window_days: int = 90) -> "rd.Dataset":
+def _range_interval_agg(m: pd.DataFrame, win: "np.timedelta64") -> pd.DataFrame:
+    """Shared kernel for both range-join plans: interval filter + per-event
+    count/revenue aggregate over a (event × candidate-order) merged frame.
+    NaT order dates (events with no orders, via the left merge) compare
+    False and contribute n=0 / total=0."""
+    od = m["o_orderdate"].to_numpy("datetime64[us]")
+    ts = m["ts"].to_numpy("datetime64[us]")
+    with np.errstate(invalid="ignore"):
+        ok = (od >= ts - win) & (od <= ts)
+    m["_n"] = ok.astype("int64")
+    m["_v"] = np.where(ok, np.nan_to_num(m["o_totalprice"].to_numpy()), 0.0)
+    g = m.groupby("event_id", sort=False).agg(
+        n_recent_orders=("_n", "sum"), recent_total=("_v", "sum")
+    )
+    g = g.reset_index()
+    g["event_id"] = g["event_id"].astype("int64")
+    g["n_recent_orders"] = g["n_recent_orders"].astype("int64")
+    # round(2) half-away-from-zero, matching the DuckDB oracle
+    v = g["recent_total"].to_numpy()
+    g["recent_total"] = np.sign(v) * np.floor(np.abs(v) * 100 + 0.5) / 100
+    return g
+
+
+def _range_join_bucketed(
+    events: "rd.Dataset", orders: "rd.Dataset", win: "np.timedelta64"
+) -> "rd.Dataset":
+    """Bucket-both-sides range join (the big-dimension plan): union the two
+    sides into one schema with a side marker, hash-partition on the join
+    key (ONE keyed exchange, the asof_join pattern), then per bucket run
+    the same merge + interval-filter + aggregate the broadcast plan runs
+    per batch. Per-task memory is bounded by bucket size, never the
+    dimension table."""
+    from ..stages.keyed import keyed_map_blocks
+
+    def ev_norm(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "ts": t["ts"],
+                "o_totalprice": pa.nulls(len(t), pa.float64()),
+                "_side": pa.array(np.zeros(len(t), np.int8)),
+            }
+        )
+
+    def or_norm(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": pa.nulls(len(t), pa.int64()),
+                "user_id": t["o_custkey"],
+                "ts": pc.cast(t["o_orderdate"], pa.timestamp("us")),
+                "o_totalprice": t["o_totalprice"],
+                "_side": pa.array(np.ones(len(t), np.int8)),
+            }
+        )
+
+    both = events.map_batches(ev_norm, batch_format="pyarrow").union(
+        orders.map_batches(or_norm, batch_format="pyarrow")
+    )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        left = df[df["_side"] == 0][["event_id", "user_id", "ts"]]
+        if not len(left):
+            return pd.DataFrame(
+                {"event_id": pd.Series([], dtype="int64"),
+                 "n_recent_orders": pd.Series([], dtype="int64"),
+                 "recent_total": pd.Series([], dtype="float64")}
+            )
+        right = df[df["_side"] == 1][["user_id", "ts", "o_totalprice"]].rename(
+            columns={"ts": "o_orderdate"}
+        )
+        m = left.merge(right, on="user_id", how="left")
+        return _range_interval_agg(m, win)
+
+    return keyed_map_blocks(both, ["user_id"], per_bucket)
+
+
+def range_join_events_orders(
+    sf_dir: str,
+    window_days: int = 90,
+    broadcast_max_bytes: int = 64 << 20,
+    force_bucketed: bool = False,
+) -> "rd.Dataset":
     """Range (interval) join: per event, count + revenue of the same
     customer's orders with ``o_orderdate`` in ``[ts - window, ts]`` — the
-    interval-predicate join family Ray Data lacks, composed as a
-    broadcast-dimension join (orders side ``ray.put`` once, fetched per
-    actor) + vectorized per-batch merge/interval-filter/aggregate.
+    interval-predicate join family Ray Data lacks. Left-join semantics:
+    events with no matching order keep n=0 / total=0.
 
-    Scale shape: the fact side (events) streams, never shuffles; the
-    dimension side is broadcast (viable while orders-per-node fits memory —
-    beyond that, bucket BOTH sides on the key hash like asof_join and run
-    the same merge per bucket). Left-join semantics: events with no
-    matching order keep n=0 / total=0.
+    Plan selection on dimension size (parquet footprint on storage — a
+    metadata-only check, no execution):
+
+    - small dimension → broadcast plan: orders pre-filtered to the probe
+      side's distinct keys (a semi-join, so only referenced customers
+      ship), ``ray.put`` once, fetched once per actor; the fact side
+      streams and never shuffles.
+    - large dimension (or ``force_bucketed``) → bucket-both-sides plan
+      (:func:`_range_join_bucketed`): one keyed exchange, per-bucket
+      memory bounded by bucket size. Both plans share the interval/agg
+      kernel and produce identical rows (pinned by test).
     """
     import ray
 
     from ..stages.keyed import default_pool
 
+    win = np.timedelta64(window_days, "D")
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    orders_ds = _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"])
+
+    path = os.path.join(sf_dir, "orders.parquet")
+    dim_bytes = (
+        sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(path)
+            for f in fs
+        )
+        if os.path.isdir(path)
+        else os.path.getsize(path)
+    )
+    if force_bucketed or dim_bytes > broadcast_max_bytes:
+        return _range_join_bucketed(ev, orders_ds, win)
+
+    # broadcast plan — pre-filter the dimension to keys the probe actually
+    # references (distinct user_ids; bounded by the user population)
+    probe_keys = pa.array(sorted(ev.unique("user_id")), pa.int64())
     orders = (
-        _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"])
+        orders_ds.map_batches(
+            lambda t: t.filter(pc.is_in(t["o_custkey"], value_set=probe_keys)),
+            batch_format="pyarrow",
+        )
         .to_pandas()
         .sort_values(["o_custkey", "o_orderdate"], kind="mergesort")
         .reset_index(drop=True)
     )
     ref = ray.put(orders)
-    win = np.timedelta64(window_days, "D")
 
     class RangeJoin:
         def __init__(self):
@@ -315,22 +424,9 @@ def range_join_events_orders(sf_dir: str, window_days: int = 90) -> "rd.Dataset"
             m = b.merge(
                 self.orders, left_on="user_id", right_on="o_custkey", how="left"
             )
-            od = m["o_orderdate"].to_numpy("datetime64[us]")
-            ts = m["ts"].to_numpy("datetime64[us]")
-            ok = (od >= ts - win) & (od <= ts)
-            m["_n"] = ok.astype("int64")
-            m["_v"] = np.where(ok, m["o_totalprice"].to_numpy(), 0.0)
-            g = m.groupby("event_id", sort=False).agg(
-                n_recent_orders=("_n", "sum"), recent_total=("_v", "sum")
-            )
-            g = g.reset_index()
-            g["n_recent_orders"] = g["n_recent_orders"].astype("int64")
-            # round(2) half-away-from-zero, matching the DuckDB oracle
-            v = g["recent_total"].to_numpy()
-            g["recent_total"] = np.sign(v) * np.floor(np.abs(v) * 100 + 0.5) / 100
-            return g
+            return _range_interval_agg(m, win)
 
-    return _read(sf_dir, "events", ["event_id", "user_id", "ts"]).map_batches(
+    return ev.map_batches(
         RangeJoin, batch_format="pandas", concurrency=default_pool()
     )
 
