@@ -176,19 +176,25 @@ def minhash_lsh_pairs(
     Buckets larger than ``max_bucket`` are truncated (boilerplate guard) —
     at 100 TB a single viral template otherwise creates an O(n²) bucket.
     """
-    from ..stages.keyed import default_pool
-
-    concurrency = concurrency or default_pool()
     rows_per_band = num_perm // num_bands
     texts = ds.select_columns([id_col, column])
-    sigs = texts.map_batches(
-        MinHasher,
-        fn_constructor_kwargs=dict(
-            num_perm=num_perm, k=k, seed=seed, column=column, id_col=id_col
-        ),
-        batch_format="pyarrow",
-        concurrency=concurrency,
-    )
+    if concurrency is None:
+        # the hash family is a few KB of state → ship a prebuilt instance
+        # as a TASK closure instead of paying actor-pool spin-up (~2 s/pool
+        # at toy scale, CLAUDE.md)
+        sigs = texts.map_batches(
+            MinHasher(num_perm=num_perm, k=k, seed=seed, column=column, id_col=id_col),
+            batch_format="pyarrow",
+        )
+    else:
+        sigs = texts.map_batches(
+            MinHasher,
+            fn_constructor_kwargs=dict(
+                num_perm=num_perm, k=k, seed=seed, column=column, id_col=id_col
+            ),
+            batch_format="pyarrow",
+            concurrency=concurrency,
+        )
     bands = sigs.map_batches(
         explode_bands(num_bands, rows_per_band), batch_format="pyarrow"
     )
@@ -262,9 +268,6 @@ def ngram_jaccard(
     """
     import ray
 
-    from ..stages.keyed import default_pool
-
-    concurrency = concurrency or default_pool()
     cand_ids = pairs.select_columns(["doc_a", "doc_b"]).to_pandas()
     # semi-join keyset on the column's NATIVE type (string ids work here;
     # only the distributed _attach_text fallback requires int64)
@@ -459,15 +462,19 @@ def simhash_pairs(
     """Near-dup pairs by simhash: bucket on 4×16-bit bands (any pair within
     Hamming distance 3 shares at least one exact 16-bit band), verify
     Hamming distance inside buckets."""
-    from ..stages.keyed import default_pool
-
-    concurrency = concurrency or default_pool()
-    sigs = ds.select_columns([id_col, column]).map_batches(
-        SimHasher,
-        fn_constructor_kwargs=dict(seed=seed, column=column, id_col=id_col),
-        batch_format="pyarrow",
-        concurrency=concurrency,
-    )
+    if concurrency is None:
+        # simhash state (seeded hash key) is tiny → task closure, no pool
+        sigs = ds.select_columns([id_col, column]).map_batches(
+            SimHasher(seed=seed, column=column, id_col=id_col),
+            batch_format="pyarrow",
+        )
+    else:
+        sigs = ds.select_columns([id_col, column]).map_batches(
+            SimHasher,
+            fn_constructor_kwargs=dict(seed=seed, column=column, id_col=id_col),
+            batch_format="pyarrow",
+            concurrency=concurrency,
+        )
 
     def bandify(t: pa.Table) -> pa.Table:
         h = t["simhash"].to_numpy()

@@ -33,36 +33,6 @@ def _norm(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
-class BatchTopK:
-    """Actor-pool stage: cosine top-k of each broadcast query vs one batch."""
-
-    def __init__(self, query_ref, k: int, id_col: str, vec_col: str):
-        q = ray.get(query_ref)  # (nq, d) float64, fetched once per actor
-        self.q = _norm(np.asarray(q, dtype=np.float64))
-        self.k = k
-        self.id_col = id_col
-        self.vec_col = vec_col
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch[self.id_col].to_numpy()
-        m = _norm(_to_matrix(batch[self.vec_col]))
-        sims = self.q @ m.T  # (nq, nb)
-        k = min(self.k, sims.shape[1])
-        idx = np.argpartition(-sims, kth=k - 1, axis=1)[:, :k]
-        rows = {
-            "query_idx": np.repeat(np.arange(sims.shape[0]), k),
-            self.id_col: ids[idx.ravel()],
-            "sim": np.take_along_axis(sims, idx, axis=1).ravel(),
-        }
-        return pa.table(
-            {
-                "query_idx": pa.array(rows["query_idx"], pa.int64()),
-                self.id_col: pa.array(rows[self.id_col]),
-                "sim": pa.array(rows["sim"], pa.float64()),
-            }
-        )
-
-
 def knn_brute_force(
     ds: "ray.data.Dataset",
     queries: np.ndarray,
@@ -73,18 +43,35 @@ def knn_brute_force(
 ) -> pd.DataFrame:
     """Exact cosine top-k: (query_idx, id, sim) rows, k per query.
 
-    Partial top-k per batch in the actor pool; the driver merges only
-    ``k × n_batches`` candidate rows — never the corpus.
+    The query matrix is small, so the per-batch top-k is a TASK closure
+    (Ray ships it with the task spec) — no actor-pool spin-up; the driver
+    merges only ``k × n_batches`` candidate rows — never the corpus.
     """
-    from ..stages.keyed import default_pool
+    q = _norm(np.asarray(queries, dtype=np.float64))
 
-    concurrency = concurrency or default_pool()
-    ref = ray.put(np.asarray(queries, dtype=np.float64))
+    def topk_batch(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy()
+        m = _norm(_to_matrix(batch[vec_col]))
+        sims = q @ m.T  # (nq, nb)
+        kk = min(k, sims.shape[1])
+        idx = np.argpartition(-sims, kth=kk - 1, axis=1)[:, :kk]
+        return pa.table(
+            {
+                "query_idx": pa.array(
+                    np.repeat(np.arange(sims.shape[0]), kk), pa.int64()
+                ),
+                id_col: pa.array(ids[idx.ravel()]),
+                "sim": pa.array(
+                    np.take_along_axis(sims, idx, axis=1).ravel(), pa.float64()
+                ),
+            }
+        )
+
+    kw = {} if concurrency is None or isinstance(concurrency, tuple) else {
+        "concurrency": concurrency
+    }
     partial = ds.select_columns([id_col, vec_col]).map_batches(
-        BatchTopK,
-        fn_constructor_args=(ref, k, id_col, vec_col),
-        batch_format="pyarrow",
-        concurrency=concurrency,
+        topk_batch, batch_format="pyarrow", **kw
     )
     cand = partial.to_pandas()
     out = (
@@ -263,38 +250,34 @@ def cosine_pairs_lsh(
     """
     import pandas as pd
 
-    from ..stages.keyed import default_pool, first_per_key_block, keyed_map_blocks
+    from ..stages.keyed import first_per_key_block, keyed_map_blocks
 
     rng = np.random.default_rng(seed)
     d = len(ds.select_columns([vec_col]).take(1)[0][vec_col])
     planes = rng.standard_normal((n_tables, n_planes, d))
-    pref = ray.put(planes)
 
-    class Bucketize:
-        def __init__(self):
-            self.planes = ray.get(pref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = batch[id_col].to_numpy()
-            m = _norm(_to_matrix(batch[vec_col]))
-            outs = []
-            for t in range(n_tables):
-                signs = (m @ self.planes[t].T) > 0  # (n, n_planes)
-                buck = signs @ (1 << np.arange(n_planes))
-                outs.append(
-                    pa.table(
-                        {
-                            id_col: pa.array(ids),
-                            "table": pa.array(np.full(len(ids), t, np.int32)),
-                            "bucket": pa.array(buck.astype(np.int64)),
-                            "vec": pa.array(list(m), pa.list_(pa.float64())),
-                        }
-                    )
+    # planes are a few KB → task closure, not an actor pool
+    def bucketize(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy()
+        m = _norm(_to_matrix(batch[vec_col]))
+        outs = []
+        for t in range(n_tables):
+            signs = (m @ planes[t].T) > 0  # (n, n_planes)
+            buck = signs @ (1 << np.arange(n_planes))
+            outs.append(
+                pa.table(
+                    {
+                        id_col: pa.array(ids),
+                        "table": pa.array(np.full(len(ids), t, np.int32)),
+                        "bucket": pa.array(buck.astype(np.int64)),
+                        "vec": pa.array(list(m), pa.list_(pa.float64())),
+                    }
                 )
-            return pa.concat_tables(outs)
+            )
+        return pa.concat_tables(outs)
 
     bands = ds.select_columns([id_col, vec_col]).map_batches(
-        Bucketize, batch_format="pyarrow", concurrency=concurrency or default_pool()
+        bucketize, batch_format="pyarrow"
     )
 
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
@@ -361,32 +344,24 @@ def knn_ivf(
     only the ``nprobe`` closest buckets per query — the bucket filter is a
     vectorized predicate, so non-probed buckets never leave the scan.
     """
-    from ..stages.keyed import default_pool
-
-    concurrency = concurrency or default_pool()
     sample = ds.select_columns([vec_col]).limit(sample_n).to_pandas()
     x = _norm(np.stack(sample[vec_col].to_numpy()).astype(np.float64))
     cent = _norm(_kmeans(x, n_clusters, seed=seed))
-    cref = ray.put(cent)
 
     q = _norm(np.asarray(queries, dtype=np.float64))
     probes = np.argsort(-(q @ cent.T), axis=1)[:, :nprobe]  # (nq, nprobe)
-    probe_set = set(np.unique(probes).tolist())
+    probe_arr = np.unique(probes)
 
-    class AssignAndFilter:
-        def __init__(self):
-            self.cent = ray.get(cref)
-            self.keep = probe_set
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            m = _norm(_to_matrix(batch[vec_col]))
-            lab = (m @ self.cent.T).argmax(1)
-            mask = np.isin(lab, list(self.keep))
-            t = batch.filter(pa.array(mask))
-            return t.append_column("bucket", pa.array(lab[mask], pa.int64()))
+    # centroids are n_clusters × d floats → task closure, not an actor pool
+    def assign_and_filter(batch: pa.Table) -> pa.Table:
+        m = _norm(_to_matrix(batch[vec_col]))
+        lab = (m @ cent.T).argmax(1)
+        mask = np.isin(lab, probe_arr)
+        t = batch.filter(pa.array(mask))
+        return t.append_column("bucket", pa.array(lab[mask], pa.int64()))
 
     pruned = ds.select_columns([id_col, vec_col]).map_batches(
-        AssignAndFilter, batch_format="pyarrow", concurrency=concurrency
+        assign_and_filter, batch_format="pyarrow"
     )
     return knn_brute_force(
         pruned, queries, k=k, id_col=id_col, vec_col=vec_col, concurrency=concurrency
