@@ -340,9 +340,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "quality_docs": Q.Q_QUALITY_DOCS,
         "langid_docs": Q.Q_LANGID_DOCS,
-        # fingerprint_docs / minhash_pairs_docs / simhash_pairs_docs /
-        # knn_ivf_vec0 / embed_neardup_lsh: hash-sketch based (recall<1 or a
-        # hash function DuckDB cannot reproduce) → rows-only check here, but
-        # each asserts a python-oracle/recall bound internally (pytest +
-        # in-query recall guards, see pipelines/corpus.py).
+        # md5-hashed variants make these two fully SQL-reproducible (r3):
+        "fingerprint_docs": Q.Q_FINGERPRINT_DOCS,
+        "approx_distinct_users_per_type": Q.Q_APPROX_DISTINCT_USERS,
+        # minhash_pairs_docs / simhash_pairs_docs / neardup_dedup_docs /
+        # knn_ivf_vec0 / embed_neardup_lsh: recall<1 by design (LSH/IVF) →
+        # rows-only check here, but each asserts a python-oracle/recall
+        # bound internally (pytest + in-query guards, pipelines/corpus.py).
     }

@@ -31,15 +31,44 @@ def _alpha(m: int) -> float:
     return 0.7213 / (1 + 1.079 / m)
 
 
-def hll_registers(values: np.ndarray, p: int = 12, hash_key: str = "hllsketchseed000") -> np.ndarray:
-    """Values → 2^p uint8 HLL registers (vectorized, deterministic)."""
+def md5_lower64(values) -> np.ndarray:
+    """DuckDB-equivalent ``md5_number_lower(CAST(v AS VARCHAR))``: the
+    little-endian uint64 from bytes 8..16 of the md5 digest of ``str(v)``
+    (verified against DuckDB v1.0). Python-loop hashing — use only where
+    SQL-reproducibility is required (the oracle-paired sketch queries);
+    the seeded ``pd.util.hash_array`` family is the fast default."""
+    import hashlib
+
+    return np.array(
+        [
+            int.from_bytes(hashlib.md5(str(v).encode()).digest()[8:16], "little")
+            for v in values
+        ],
+        dtype=np.uint64,
+    )
+
+
+def hll_registers(
+    values: np.ndarray,
+    p: int = 12,
+    hash_key: str = "hllsketchseed000",
+    hash_fn: str = "default",
+) -> np.ndarray:
+    """Values → 2^p uint8 HLL registers (vectorized, deterministic).
+
+    ``hash_fn="md5"`` swaps in :func:`md5_lower64` so the whole sketch —
+    registers, merge, estimate — is reproducible in ANSI SQL (the
+    oracle-paired variant); everything downstream of the hash is shared."""
     m = 1 << p
     regs = np.zeros(m, dtype=np.uint8)
     if len(values) == 0:
         return regs
-    h = pd.util.hash_array(
-        np.asarray(values, dtype=object), hash_key=hash_key
-    ).astype(np.uint64)
+    if hash_fn == "md5":
+        h = md5_lower64(values)
+    else:
+        h = pd.util.hash_array(
+            np.asarray(values, dtype=object), hash_key=hash_key
+        ).astype(np.uint64)
     idx = (h >> np.uint64(64 - p)).astype(np.int64)
     w = h & np.uint64((1 << (64 - p)) - 1)
     # rank = leading-zero count of the (64-p)-bit remainder + 1;
@@ -65,23 +94,34 @@ def hll_estimate(regs: np.ndarray) -> float:
     return float(est)
 
 
+def hll_estimate_int(regs: np.ndarray) -> int:
+    """Estimate rounded half-away-from-zero — the exact rounding the SQL
+    oracle uses (CAST(floor(E + 0.5) AS BIGINT)), so both sides agree."""
+    return int(np.floor(hll_estimate(regs) + 0.5))
+
+
 def approx_count_distinct(
     ds: "ray.data.Dataset",
     group_col: str,
     value_col: str,
     p: int = 12,
+    hash_fn: str = "default",
 ) -> "ray.data.Dataset":
     """(group, approx_n_distinct) via per-block HLL combiners.
 
     The exchange carries one 2^p-byte register row per (group, block) —
     independent of the number of distinct values — then a per-group
-    elementwise-max reduce and estimate."""
+    elementwise-max reduce and estimate. ``hash_fn="md5"`` makes the whole
+    pipeline reproducible by the DuckDB SQL oracle (same hash, same
+    registers, same estimator)."""
     from ..stages.keyed import keyed_map_blocks
 
     def block_sketch(df: pd.DataFrame) -> pd.DataFrame:
         rows = []
         for g, sub in df.groupby(group_col, sort=False):
-            rows.append((g, hll_registers(sub[value_col].to_numpy(), p=p)))
+            rows.append(
+                (g, hll_registers(sub[value_col].to_numpy(), p=p, hash_fn=hash_fn))
+            )
         return pd.DataFrame(
             {
                 group_col: [r[0] for r in rows],
@@ -98,7 +138,7 @@ def approx_count_distinct(
             for b in sub["_regs"]:
                 regs = hll_merge(regs, np.frombuffer(b, dtype=np.uint8))
             out_g.append(g)
-            out_n.append(int(round(hll_estimate(regs))))
+            out_n.append(hll_estimate_int(regs))
         return pd.DataFrame({group_col: out_g, "approx_n_distinct": out_n})
 
     return keyed_map_blocks(sketches, [group_col], reduce_group)

@@ -180,6 +180,40 @@ class LangId:
         return t.to_pandas()
 
 
+def fingerprint_md5(
+    batch: pa.Table, column: str = "text", out: str = "fingerprint",
+    window: int = 8,
+) -> pa.Table:
+    """Min-hash document fingerprint over ``window``-token shingles using
+    DuckDB-reproducible hashing (``md5_number_lower`` of the
+    space-joined shingle — functions/sketches.md5_lower64), so the query
+    is fully SQL-oracle-checkable. Documents shorter than ``window``
+    tokens hash their whole token list; zero-token documents get NULL
+    (matching the SQL's NULL-propagating slice).
+
+    Per-shingle md5 is a Python loop — linear and streaming, but ~10×
+    the cycles of :func:`fingerprint`'s vectorized rolling hash; prefer
+    ``fingerprint`` where SQL reproducibility is not required."""
+    import hashlib
+    import re
+
+    ws_re = re.compile(r"[ \t\n\r\f\v]+")  # explicit class: RE2/Python-identical
+    out_vals: list[int | None] = []
+    for text in batch[column].to_pylist():
+        toks = [t for t in ws_re.split(text or "") if t]
+        if not toks:
+            out_vals.append(None)
+            continue
+        best = None
+        for i in range(max(len(toks) - window + 1, 1)):
+            s = " ".join(toks[i : i + window])
+            h = int.from_bytes(hashlib.md5(s.encode()).digest()[8:16], "little")
+            if best is None or h < best:
+                best = h
+        out_vals.append(best)
+    return batch.append_column(out, pa.array(out_vals, pa.uint64()))
+
+
 def fingerprint(
     batch: pa.Table, column: str = "text", out: str = "fingerprint",
     window: int = 8,

@@ -138,9 +138,15 @@ def langid_docs(sf_dir: str) -> "rd.Dataset":
 
 
 def fingerprint_docs(sf_dir: str) -> "rd.Dataset":
+    """Min-hash shingle fingerprint, md5-hashed so DuckDB reproduces it
+    exactly (fully oracle-paired since r3 — was `no_oracle`). The
+    vectorized rolling-hash :func:`~..functions.textstats.fingerprint`
+    remains the fast path where SQL parity is not required."""
+    from ..functions.textstats import fingerprint_md5
+
     return (
         _docs(sf_dir, ["doc_id", "text"])
-        .map_batches(fingerprint, batch_format="pyarrow")
+        .map_batches(fingerprint_md5, batch_format="pyarrow")
         .select_columns(["doc_id", "fingerprint"])
     )
 

@@ -493,12 +493,15 @@ def median_value_per_type(sf_dir: str) -> "rd.Dataset":
 def approx_distinct_users_per_type(sf_dir: str) -> "rd.Dataset":
     """HyperLogLog per-group count-distinct (functions/sketches.py): the
     exchange carries fixed-size register rows per (group, block) instead
-    of every distinct pair. Gate-scale guard: estimate within 10% of the
-    exact count (p=12 → ~1.6% typical error)."""
+    of every distinct pair. Uses the md5 hash variant so the ENTIRE
+    sketch (hash → registers → merge → estimator) is reproduced by the
+    DuckDB oracle (sql_oracle.Q_APPROX_DISTINCT_USERS) — fully
+    oracle-paired since r3, was `no_oracle`. Gate-scale guard retained:
+    estimate within 10% of the exact count (p=12 → ~1.6% typical)."""
     from ..functions.sketches import approx_count_distinct
 
     ev = _read(sf_dir, "events", ["event_type", "user_id"])
-    out = approx_count_distinct(ev, "event_type", "user_id", p=12)
+    out = approx_count_distinct(ev, "event_type", "user_id", p=12, hash_fn="md5")
     if ev.count() <= 1_000_000:
         got = out.to_pandas().set_index("event_type")["approx_n_distinct"]
         exact = (

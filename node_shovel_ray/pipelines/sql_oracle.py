@@ -199,3 +199,72 @@ FROM s
 
 Q_QUALITY_DOCS = _quality_docs_sql()
 Q_LANGID_DOCS = _langid_docs_sql()
+
+
+# DuckDB-reproducible md5 min-hash fingerprint (engine twin:
+# functions/textstats.fingerprint_md5 — same tokenizer class, same
+# window=8 shingles, same md5_number_lower semantics; zero-token docs are
+# NULL on both sides).
+Q_FINGERPRINT_DOCS = r"""
+WITH w AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(text, '[ \t\n\r\f\v]+'), x -> x <> '') AS toks
+  FROM documents
+)
+SELECT doc_id,
+  list_min(list_transform(
+    range(1, greatest(len(toks) - 7, 1) + 1),
+    i -> md5_number_lower(array_to_string(toks[i:i+7], ' '))
+  )) AS fingerprint
+FROM w
+"""
+
+
+def _approx_distinct_sql(p: int = 12) -> str:
+    """Full HyperLogLog in ANSI SQL — same md5 hash, registers (sequential
+    bit-smear + popcount leading-zero rank), merge, estimator and rounding
+    as functions/sketches with hash_fn='md5' (register-level parity
+    verified at 60k distinct). This makes the SKETCH itself oracle-checked,
+    not just its error bound."""
+    m = 1 << p
+    rem = 64 - p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    return f"""
+WITH h AS (
+  SELECT DISTINCT event_type, md5_number_lower(CAST(user_id AS VARCHAR)) AS hv
+  FROM events
+), r AS (
+  SELECT event_type, CAST(hv >> {rem} AS INT) AS idx,
+         hv & ((1::UBIGINT << {rem}) - 1) AS w
+  FROM h
+), s1 AS (SELECT event_type, idx, w, w | (w>>1) AS x FROM r),
+s2 AS (SELECT event_type, idx, w, x | (x>>2) AS x FROM s1),
+s3 AS (SELECT event_type, idx, w, x | (x>>4) AS x FROM s2),
+s4 AS (SELECT event_type, idx, w, x | (x>>8) AS x FROM s3),
+s5 AS (SELECT event_type, idx, w, x | (x>>16) AS x FROM s4),
+s6 AS (SELECT event_type, idx, w, x | (x>>32) AS x FROM s5),
+ranks AS (
+  SELECT event_type, idx,
+    CASE WHEN w = 0 THEN {rem + 1} ELSE {rem} - bit_count(x) + 1 END AS rank
+  FROM s6
+), regs AS (
+  SELECT event_type, idx, MAX(rank) AS M FROM ranks GROUP BY 1, 2
+), agg AS (
+  SELECT event_type, COUNT(*) AS n_present, SUM(pow(2.0, -M)) AS sum_present
+  FROM regs GROUP BY 1
+), est AS (
+  SELECT event_type,
+    CAST({alpha} AS DOUBLE) * {m} * {m}
+      / (({m} - n_present) * 1.0 + sum_present) AS E,
+    {m} - n_present AS zeros
+  FROM agg
+)
+SELECT event_type,
+  CAST(floor(CASE WHEN E <= 2.5 * {m} AND zeros > 0
+       THEN {m} * ln({m} / CAST(zeros AS DOUBLE)) ELSE E END + 0.5) AS BIGINT)
+    AS approx_n_distinct
+FROM est
+"""
+
+
+Q_APPROX_DISTINCT_USERS = _approx_distinct_sql()

@@ -34,6 +34,68 @@ def test_hll_merge_equals_union():
     assert hll_registers(a).tobytes() == hll_registers(a).tobytes()
 
 
+def test_md5_lower64_matches_duckdb():
+    """md5_lower64 must equal DuckDB md5_number_lower(CAST(v AS VARCHAR))
+    — the contract that makes the HLL sketch SQL-oracle-checkable."""
+    import duckdb
+
+    from node_shovel_ray.functions.sketches import md5_lower64
+
+    vals = [0, 1, 42, -7, 123456789012345]
+    got = md5_lower64(vals)
+    con = duckdb.connect()
+    for v, g in zip(vals, got):
+        (want,) = con.execute(
+            "SELECT md5_number_lower(CAST(? AS VARCHAR))", [v]
+        ).fetchone()
+        assert int(g) == want
+
+
+def test_hll_md5_register_parity_with_sql():
+    """Register-level parity engine↔SQL at a cardinality that exercises the
+    raw-estimate path (not just linear counting)."""
+    import duckdb
+
+    from node_shovel_ray.functions.sketches import hll_estimate_int, hll_registers
+
+    p, m = 12, 1 << 12
+    n = 30_000
+    regs = hll_registers(np.arange(n, dtype=np.int64), p=p, hash_fn="md5")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE TABLE vals AS SELECT CAST(i AS BIGINT) AS v FROM range({n}) t(i)"
+    )
+    df = con.execute(f"""
+        WITH h AS (SELECT DISTINCT md5_number_lower(CAST(v AS VARCHAR)) AS hv FROM vals),
+        r AS (SELECT CAST(hv >> {64-p} AS INT) AS idx,
+                     hv & ((1::UBIGINT << {64-p}) - 1) AS w FROM h),
+        s1 AS (SELECT idx, w, w | (w>>1) AS x FROM r),
+        s2 AS (SELECT idx, w, x | (x>>2) AS x FROM s1),
+        s3 AS (SELECT idx, w, x | (x>>4) AS x FROM s2),
+        s4 AS (SELECT idx, w, x | (x>>8) AS x FROM s3),
+        s5 AS (SELECT idx, w, x | (x>>16) AS x FROM s4),
+        s6 AS (SELECT idx, w, x | (x>>32) AS x FROM s5)
+        SELECT idx, MAX(CASE WHEN w = 0 THEN {64-p+1}
+                             ELSE {64-p} - bit_count(x) + 1 END) AS M
+        FROM s6 GROUP BY idx
+    """).df()
+    want = np.zeros(m, dtype=int)
+    want[df["idx"].to_numpy()] = df["M"].to_numpy()
+    assert np.array_equal(want, regs.astype(int))
+    assert abs(hll_estimate_int(regs) - n) / n < 0.05
+
+
+def test_fingerprint_md5_edges():
+    import pyarrow as pa
+
+    from node_shovel_ray.functions.textstats import fingerprint_md5
+
+    t = pa.table({"text": pa.array(["", "   ", "one two", "w " * 40, None])})
+    out = fingerprint_md5(t)["fingerprint"].to_pylist()
+    assert out[0] is None and out[1] is None and out[4] is None
+    assert isinstance(out[2], int) and isinstance(out[3], int)
+
+
 def test_approx_count_distinct_dataset(ray_session):
     rng = np.random.default_rng(11)
     n = 30_000
