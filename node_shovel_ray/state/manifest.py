@@ -91,24 +91,42 @@ class ResumableRunner:
             info["skipped"] = True
             return info
 
+        from .metrics import parse_operator_stats, stage_counters
+
         t0 = time.monotonic()
         ds = ray.data.read_parquet(files)
+        n_in = ds.count()  # parquet metadata only — no scan
         res = process(ds)
         sink_rows: dict[str, int] = {}
+        operators: dict[str, list] = {}
         for tag, branch in res["sinks"].items():
             final = os.path.join(self.out_dir, f"sink={tag}", f"part-{pid}")
             sink_rows[tag] = self._atomic_write_parquet(branch, final, pid)
+            try:  # per-operator wall/rows for the executed branch
+                operators[tag] = parse_operator_stats(branch.stats())
+            except Exception:
+                operators[tag] = []
         if res.get("counts") is not None:
             partial = res["counts"].to_pandas()
             tmp = os.path.join(self.tmp_dir, f"{pid}-partial.parquet")
             pq.write_table(pa.Table.from_pandas(partial, preserve_index=False), tmp)
             os.rename(tmp, os.path.join(self.partial_dir, f"{pid}.parquet"))
 
+        declared = res.get("counters", {})
         info = {
             "partition_id": pid,
             "input_files": sorted(files),
             "sink_rows": sink_rows,
             "rows_in": sum(sink_rows.values()),
+            "counters": stage_counters(
+                n_in,
+                sink_rows,
+                broadcast=tuple(declared.get("broadcast", ("audit",))),
+                ignored=declared.get("ignored", 0),
+                rejected=declared.get("rejected"),
+                deadletter=tuple(declared.get("deadletter", ("rejects",))),
+            ),
+            "operators": operators,
             "wall_sec": round(time.monotonic() - t0, 3),
             "skipped": False,
         }
@@ -120,7 +138,48 @@ class ResumableRunner:
         return info
 
     def run(self, partitions: list[list[str]], process: Callable) -> list[dict]:
-        return [self.run_partition(files, process) for files in partitions]
+        infos = [self.run_partition(files, process) for files in partitions]
+        self._write_metrics()
+        return infos
+
+    # -- operational metrics --------------------------------------------------
+
+    def metrics(self) -> dict:
+        """Aggregate every committed partition's counters + operator stats
+        into one run-level dump — the analogue of the reference's
+        cluster-aggregated metrics registry
+        (src/core/aggregated_metrics.js:100-209). Re-derived from the
+        commit markers, so it is resume-safe (never double-counts)."""
+        from .metrics import merge_counters
+
+        parts = []
+        for f in sorted(os.listdir(self.manifest_dir)):
+            if f.startswith("partition-") and f.endswith(".json"):
+                with open(os.path.join(self.manifest_dir, f)) as fh:
+                    parts.append(json.load(fh))
+        sink_totals: dict[str, int] = {}
+        op_wall: dict[str, float] = {}
+        for p in parts:
+            for tag, n in p.get("sink_rows", {}).items():
+                sink_totals[tag] = sink_totals.get(tag, 0) + n
+            for ops in p.get("operators", {}).values():
+                for op in ops:
+                    op_wall[op["operator"]] = round(
+                        op_wall.get(op["operator"], 0.0) + op["wall_sec"], 3
+                    )
+        return {
+            "n_partitions": len(parts),
+            "counters": merge_counters([p.get("counters", {}) for p in parts]),
+            "sink_rows": sink_totals,
+            "operator_wall_sec": op_wall,
+            "wall_sec": round(sum(p.get("wall_sec", 0.0) for p in parts), 3),
+        }
+
+    def _write_metrics(self) -> None:
+        tmp = os.path.join(self.tmp_dir, "metrics.json")
+        with open(tmp, "w") as fh:
+            json.dump(self.metrics(), fh, indent=1)
+        os.rename(tmp, os.path.join(self.manifest_dir, "metrics.json"))
 
     # -- final aggregates -----------------------------------------------------
 
