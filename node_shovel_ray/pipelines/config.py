@@ -103,6 +103,19 @@ def _in_multiline(o):
     return lambda: read_multiline_text(o["path"], column=o.get("column", "text"))
 
 
+@register("input", "stream")
+def _in_stream(o):
+    # chunked binary stream analogue (reference src/inputs/stream.js:7-96):
+    # start_position beginning/end/<int>, buffer_size-byte chunks
+    from ..sources.stream import read_binary_stream
+
+    return lambda: read_binary_stream(
+        o["path"],
+        start_position=o.get("start_position", "beginning"),
+        buffer_size=int(o.get("buffer_size", 100_000)),
+    )
+
+
 @register("input", "items")
 def _in_items(o):
     return lambda: rd.from_items(o["items"])
