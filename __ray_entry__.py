@@ -160,6 +160,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf_vec0": corpus.knn_ivf_vec0,
         "embed_neardup": corpus.embed_neardup,
         "embed_neardup_lsh": corpus.embed_neardup_lsh,
+        # deterministic sampling (curation ops, md5-rank → SQL-reproducible)
+        "sample_docs_per_lang": corpus.sample_docs_per_lang,
+        "sample_docs_fraction": corpus.sample_docs_fraction,
     }
 
 
@@ -340,9 +343,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "quality_docs": Q.Q_QUALITY_DOCS,
         "langid_docs": Q.Q_LANGID_DOCS,
-        # md5-hashed variants make these two fully SQL-reproducible (r3):
+        # md5-hashed variants make these fully SQL-reproducible (r3):
         "fingerprint_docs": Q.Q_FINGERPRINT_DOCS,
         "approx_distinct_users_per_type": Q.Q_APPROX_DISTINCT_USERS,
+        "sample_docs_per_lang": Q.Q_SAMPLE_DOCS_PER_LANG,
+        "sample_docs_fraction": Q.Q_SAMPLE_DOCS_FRACTION,
         # minhash_pairs_docs / simhash_pairs_docs / neardup_dedup_docs /
         # knn_ivf_vec0 / embed_neardup_lsh: recall<1 by design (LSH/IVF) →
         # rows-only check here, but each asserts a python-oracle/recall

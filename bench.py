@@ -71,6 +71,25 @@ def _flagship(sink_dir: str) -> int:
     return int(primaries["n"].sum())
 
 
+def _flagship_fallback(sink_dir: str) -> int:
+    """The NON-partitioned plan: default parquet read (files split across
+    blocks, no layout contract) + keyed-exchange sequence numbering
+    (stages/enrich.seq_number) — what a 100 TB run pays when the input is
+    NOT conv-sharded. Measured so the fallback's cost is a number in
+    BASELINE.md, not a note (VERDICT r2 #8)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from node_shovel_ray.pipelines import flagship
+
+    meta = pq.read_table(os.path.join(BENCH_DIR, "conv_meta.parquet"))
+    ds = rd.read_parquet(os.path.join(BENCH_DIR, "transcripts"))
+    res = flagship.run(ds, meta, out_dir=sink_dir, assume_partitioned=False)
+    counts = res["counts"].to_pandas()
+    primaries = counts[counts["sink_tag"] != "audit"]
+    return int(primaries["n"].sum())
+
+
 def _side_queries() -> dict[str, float]:
     """One timed representative per operator family over SF_DIR."""
     import numpy as np
@@ -170,17 +189,19 @@ def run_once() -> dict:
         zero_copy_batch=True,
     ).count()
 
+    plan = _flagship_fallback if os.environ.get("NSR_PLAN") == "fallback" else _flagship
+
     # cold run spins up workers/actor pools; warm run measures the engine.
     # NSR_WARM_RUNS>1 → min of N warm runs (least-noise estimate; the warm
     # band on this shared host spans ~2× with page-cache/object-store state)
     t0 = time.monotonic()
-    turns = _flagship(sink_dir)
+    turns = plan(sink_dir)
     cold = time.monotonic() - t0
     shutil.rmtree(sink_dir, ignore_errors=True)
     headline = float("inf")
     for _ in range(int(os.environ.get("NSR_WARM_RUNS", "2"))):
         t0 = time.monotonic()
-        turns = _flagship(sink_dir)
+        turns = plan(sink_dir)
         headline = min(headline, time.monotonic() - t0)
         shutil.rmtree(sink_dir, ignore_errors=True)
 
@@ -250,5 +271,12 @@ def run_scaling() -> dict:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--fallback" in sys.argv:
+        # non-partitioned plan (keyed-exchange seq numbering), no side queries
+        os.environ["NSR_PLAN"] = "fallback"
+        os.environ.setdefault("NSR_SKIP_SIDE", "1")
+        out = run_once()
+        out["metric"] = "flagship_fallback_e2e_sec"
+        print(json.dumps(out))
     else:
         print(json.dumps(run_once()))

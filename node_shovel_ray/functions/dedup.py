@@ -71,6 +71,27 @@ def _shingles(tokens: list[str], k: int) -> set[str]:
     return {" ".join(tokens[i : i + k]) for i in range(len(tokens) - k + 1)}
 
 
+def _shingle_hash_sets(texts: list[str], k: int) -> list[np.ndarray]:
+    """Each text → sorted unique uint64 shingle-hash array; ALL shingles of
+    all texts hashed in one ``hash_array`` call (set semantics identical to
+    ``_shingles`` up to 64-bit hash collisions, ~n²/2⁶⁴ — negligible)."""
+    all_sh: list[str] = []
+    offsets = [0]
+    for t in texts:
+        toks = (t or "").split()
+        if toks:
+            all_sh.extend(sorted(_shingles(toks, k)))
+        offsets.append(len(all_sh))
+    hs = (
+        pd.util.hash_array(np.array(all_sh, dtype=object))
+        if all_sh
+        else np.array([], dtype=np.uint64)
+    )
+    return [
+        np.unique(hs[offsets[i] : offsets[i + 1]]) for i in range(len(texts))
+    ]
+
+
 class MinHasher:
     """Actor-pool stage: text → num_perm minhash values (seeded, stateful).
 
@@ -298,16 +319,24 @@ def ngram_jaccard(
                  "doc_b": pd.Series([], dtype="int64"),
                  "jaccard": pd.Series([], dtype="float64")}
             )
-        jac = []
-        for ta, tb in zip(b[ta_col], b[tb_col]):
-            sa = _shingles((ta if isinstance(ta, str) else "").split(), k)
-            sb = _shingles((tb if isinstance(tb, str) else "").split(), k)
-            inter = len(sa & sb)
-            union = len(sa | sb) or 1
-            jac.append(inter / union)
-        b = b[["doc_a", "doc_b"]].copy()
-        b["jaccard"] = jac
-        return b
+        # vectorized: hash every distinct text's shingles in ONE
+        # hash_array call, then per-pair C-level intersect on sorted
+        # uint64 arrays (no Python string-set ops in the loop)
+        texts = np.concatenate(
+            [b[ta_col].fillna("").to_numpy(object), b[tb_col].fillna("").to_numpy(object)]
+        )
+        uniq, inv = np.unique(texts, return_inverse=True)
+        hashes = _shingle_hash_sets(list(uniq), k)
+        n = len(b)
+        jac = np.empty(n, dtype=np.float64)
+        for i, (xa, xb) in enumerate(zip(inv[:n], inv[n:])):
+            ha, hb = hashes[xa], hashes[xb]
+            inter = np.intersect1d(ha, hb, assume_unique=True).size
+            union = ha.size + hb.size - inter
+            jac[i] = inter / (union or 1)
+        out = b[["doc_a", "doc_b"]].copy()
+        out["jaccard"] = jac
+        return out
 
     if len(ids) <= broadcast_limit:
         # broadcast path: only CANDIDATE texts ship (O(candidates) memory)

@@ -1,0 +1,92 @@
+"""Deterministic sampling operators for training-data curation.
+
+A 100 TB corpus pipeline needs reproducible subsetting — "K docs per
+language" / "2% of the corpus" — that is stable across retries, resumes
+and re-runs. Random sampling breaks the engine's pure-function invariant
+(CLAUDE.md: no unseeded RNG); these operators instead rank rows by a
+content-derived hash of the id, which is uniform-ish, deterministic, and
+— with ``hash_fn="md5"`` (functions/sketches.md5_lower64) — reproducible
+by the DuckDB oracle, so both are fully hash-checked queries.
+
+Scale shapes:
+
+- :func:`sample_fraction`: a pure streaming filter (hash < p·2⁶⁴); no
+  shuffle, no state.
+- :func:`sample_per_group`: per-batch partial top-k per group (bounds the
+  exchange to k × groups × blocks rows) → one keyed exchange → final
+  top-k per group. The wide payload columns ride along only for rows
+  that survive the partial cut.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray.data
+
+from .sketches import md5_lower64
+
+_FULL = 1 << 64
+
+
+def _hash_ids(values, hash_fn: str) -> np.ndarray:
+    if hash_fn == "md5":
+        return md5_lower64(values)
+    return pd.util.hash_array(
+        np.asarray(values, dtype=object), hash_key="nsrsample0123456"
+    ).astype(np.uint64)
+
+
+def fraction_threshold(p: float) -> int:
+    """p ∈ [0,1] → the integer hash cutoff. Computed ONCE in Python and
+    inlined into the SQL oracle as a literal, so engine and oracle can
+    never disagree on float→int rounding."""
+    if not 0.0 <= p <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {p}")
+    return min(int(p * _FULL), _FULL - 1) if p < 1.0 else _FULL
+
+
+def sample_fraction(
+    ds: "ray.data.Dataset",
+    p: float,
+    id_col: str,
+    hash_fn: str = "md5",
+) -> "ray.data.Dataset":
+    """Deterministic Bernoulli(p) subset: keep rows with
+    ``hash(id) < p·2⁶⁴``. Streaming filter — no shuffle, no materialize."""
+    thr = fraction_threshold(p)
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        h = _hash_ids(df[id_col].to_numpy(), hash_fn)
+        return df[h < np.uint64(min(thr, _FULL - 1))] if thr < _FULL else df
+
+    return ds.map_batches(keep, batch_format="pandas")
+
+
+def sample_per_group(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    k: int,
+    id_col: str,
+    hash_fn: str = "md5",
+) -> "ray.data.Dataset":
+    """Deterministic per-group sample: the ``k`` rows of each group with
+    the smallest ``(hash(id), id)`` — a reservoir whose membership is a
+    pure function of the ids (SQL twin: row_number() OVER (PARTITION BY
+    group ORDER BY md5_number_lower(id), id) <= k)."""
+    from ..stages.keyed import keyed_map_blocks
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_h"] = _hash_ids(df[id_col].to_numpy(), hash_fn)
+        df = df.sort_values(["_h", id_col], kind="mergesort")
+        return df.groupby(group_col, sort=False).head(k)
+
+    pruned = ds.map_batches(partial, batch_format="pandas")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["_h", id_col], kind="mergesort")
+        return df.groupby(group_col, sort=False).head(k).drop(columns=["_h"])
+
+    return keyed_map_blocks(pruned, [group_col], final)

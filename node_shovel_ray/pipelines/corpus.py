@@ -151,6 +151,26 @@ def fingerprint_docs(sf_dir: str) -> "rd.Dataset":
     )
 
 
+def sample_docs_per_lang(sf_dir: str, k: int = 25) -> "rd.Dataset":
+    """Deterministic per-language sample (training-data curation: K docs
+    per stratum, reproducible across retries/resume). Fully oracle-paired:
+    md5 rank is reproduced by SQL row_number() ordering."""
+    from ..functions.sampling import sample_per_group
+
+    out = sample_per_group(
+        _docs(sf_dir, ["doc_id", "lang"]), group_col="lang", k=k, id_col="doc_id"
+    )
+    return out.select_columns(["doc_id", "lang"])
+
+
+def sample_docs_fraction(sf_dir: str, p: float = 0.2) -> "rd.Dataset":
+    """Deterministic Bernoulli(p) corpus subset — a pure streaming filter
+    (hash(doc_id) < p·2⁶⁴); oracle-paired via the same md5 cutoff."""
+    from ..functions.sampling import sample_fraction
+
+    return sample_fraction(_docs(sf_dir, ["doc_id", "lang"]), p=p, id_col="doc_id")
+
+
 # Sketch queries have no SQL oracle (hash functions DuckDB cannot reproduce
 # / recall<1 by design). To keep regressions catchable at the driver's gate
 # scale anyway, each asserts an internal invariant against an exact

@@ -268,3 +268,31 @@ FROM est
 
 
 Q_APPROX_DISTINCT_USERS = _approx_distinct_sql()
+
+
+# Deterministic sampling twins (functions/sampling.py): rank by the same
+# md5 hash, so membership is identical on both sides.
+Q_SAMPLE_DOCS_PER_LANG = """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+    row_number() OVER (
+      PARTITION BY lang
+      ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)), doc_id
+    ) AS rn
+  FROM documents
+) WHERE rn <= 25
+"""
+
+
+def _sample_fraction_sql(p: float = 0.2) -> str:
+    from ..functions.sampling import fraction_threshold
+
+    # the cutoff is computed ONCE in Python and inlined as a literal —
+    # engine and oracle cannot disagree on float→int rounding
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) < {fraction_threshold(p)}
+"""
+
+
+Q_SAMPLE_DOCS_FRACTION = _sample_fraction_sql()

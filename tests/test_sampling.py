@@ -1,0 +1,72 @@
+"""Deterministic sampling operators (functions/sampling.py): membership is
+a pure function of the ids — stable across re-runs, block layouts, and
+(for md5) reproducible by the SQL oracle."""
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+from node_shovel_ray.functions.sampling import (
+    fraction_threshold,
+    sample_fraction,
+    sample_per_group,
+)
+
+
+def _docs(n=200):
+    return pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "lang": pa.array([["en", "de", "fr"][i % 3] for i in range(n)]),
+        }
+    )
+
+
+def test_fraction_threshold_edges():
+    import pytest
+
+    assert fraction_threshold(0.0) == 0
+    assert fraction_threshold(1.0) == 1 << 64
+    assert 0 < fraction_threshold(0.5) < (1 << 64)
+    with pytest.raises(ValueError):
+        fraction_threshold(1.5)
+
+
+def test_sample_fraction_deterministic_and_plausible(ray_session):
+    t = _docs(1000)
+    a = sorted(sample_fraction(rd.from_arrow(t), 0.3, "doc_id").to_pandas()["doc_id"])
+    b = sorted(sample_fraction(rd.from_arrow(t), 0.3, "doc_id").to_pandas()["doc_id"])
+    assert a == b  # rerun-stable
+    assert 0.2 < len(a) / 1000 < 0.4  # ~Bernoulli(0.3)
+    # p=1 keeps everything, p=0 nothing
+    assert sample_fraction(rd.from_arrow(t), 1.0, "doc_id").count() == 1000
+    assert sample_fraction(rd.from_arrow(t), 0.0, "doc_id").count() == 0
+    # monotone: the p=0.1 sample is a subset of the p=0.3 sample
+    small = set(
+        sample_fraction(rd.from_arrow(t), 0.1, "doc_id").to_pandas()["doc_id"]
+    )
+    assert small <= set(a)
+
+
+def test_sample_per_group_layout_independent(ray_session):
+    t = _docs(300)
+    one_block = sample_per_group(
+        rd.from_arrow(t), "lang", k=10, id_col="doc_id"
+    ).to_pandas()
+    many_blocks = sample_per_group(
+        rd.from_arrow(t).repartition(13), "lang", k=10, id_col="doc_id"
+    ).to_pandas()
+    a = one_block.sort_values(["lang", "doc_id"]).reset_index(drop=True)
+    b = many_blocks.sort_values(["lang", "doc_id"]).reset_index(drop=True)
+    assert a.equals(b)  # membership independent of block layout
+    assert (a.groupby("lang").size() == 10).all()
+    # python oracle: k smallest (md5, id) per group
+    from node_shovel_ray.functions.sketches import md5_lower64
+
+    df = t.to_pandas()
+    df["_h"] = md5_lower64(df["doc_id"].to_numpy())
+    want = (
+        df.sort_values(["_h", "doc_id"]).groupby("lang", sort=False).head(10)
+    )
+    assert set(zip(a["lang"], a["doc_id"])) == set(zip(want["lang"], want["doc_id"]))
