@@ -163,6 +163,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # deterministic sampling (curation ops, md5-rank → SQL-reproducible)
         "sample_docs_per_lang": corpus.sample_docs_per_lang,
         "sample_docs_fraction": corpus.sample_docs_fraction,
+        # generic shuffle hash join + text normalization (r3)
+        "hash_join_events_customers": relational.hash_join_events_customers,
+        "normalize_docs": corpus.normalize_docs,
     }
 
 
@@ -348,6 +351,16 @@ def oracle_sql() -> dict[str, str]:
         "approx_distinct_users_per_type": Q.Q_APPROX_DISTINCT_USERS,
         "sample_docs_per_lang": Q.Q_SAMPLE_DOCS_PER_LANG,
         "sample_docs_fraction": Q.Q_SAMPLE_DOCS_FRACTION,
+        "hash_join_events_customers": """
+            SELECT event_id, user_id, c_mktsegment
+            FROM events JOIN customer ON user_id = c_custkey
+        """,
+        "normalize_docs": r"""
+            SELECT doc_id,
+              trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g'))
+                AS text_norm
+            FROM documents
+        """,
         # minhash_pairs_docs / simhash_pairs_docs / neardup_dedup_docs /
         # knn_ivf_vec0 / embed_neardup_lsh: recall<1 by design (LSH/IVF) →
         # rows-only check here, but each asserts a python-oracle/recall

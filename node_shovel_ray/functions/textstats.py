@@ -180,6 +180,26 @@ class LangId:
         return t.to_pandas()
 
 
+def normalize_text(
+    batch: pa.Table, column: str = "text", out: str = "text_norm"
+) -> pa.Table:
+    """Canonical text normalization for dedup/curation preprocessing:
+    Unicode NFC → lowercase → collapse whitespace runs → trim. Pure Arrow
+    kernels, and each step has an exact DuckDB twin
+    (nfc_normalize / lower / regexp_replace / trim — parity incl.
+    non-ASCII verified empirically), so the query is fully oracle-paired."""
+    col = (
+        batch[column].combine_chunks()
+        if isinstance(batch[column], pa.ChunkedArray)
+        else batch[column]
+    )
+    x = pc.utf8_normalize(col, form="NFC")
+    x = pc.utf8_lower(x)
+    x = pc.replace_substring_regex(x, pattern=r"\s+", replacement=" ")
+    x = pc.utf8_trim_whitespace(x)
+    return batch.append_column(out, x)
+
+
 def fingerprint_md5(
     batch: pa.Table, column: str = "text", out: str = "fingerprint",
     window: int = 8,

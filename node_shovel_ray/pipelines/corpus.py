@@ -151,6 +151,19 @@ def fingerprint_docs(sf_dir: str) -> "rd.Dataset":
     )
 
 
+def normalize_docs(sf_dir: str) -> "rd.Dataset":
+    """Canonical text normalization (NFC → lower → collapse ws → trim) —
+    the dedup/curation preprocessing stage; pure Arrow kernels with exact
+    DuckDB twins (oracle-paired)."""
+    from ..functions.textstats import normalize_text
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(normalize_text, batch_format="pyarrow", zero_copy_batch=True)
+        .select_columns(["doc_id", "text_norm"])
+    )
+
+
 def sample_docs_per_lang(sf_dir: str, k: int = 25) -> "rd.Dataset":
     """Deterministic per-language sample (training-data curation: K docs
     per stratum, reproducible across retries/resume). Fully oracle-paired:

@@ -431,6 +431,18 @@ def range_join_events_orders(
     )
 
 
+def hash_join_events_customers(sf_dir: str) -> "rd.Dataset":
+    """Generic distributed hash join (stages/join.hash_join): events ⋈
+    customer on user_id — both sides shuffle ONCE on the key hash, merge
+    per bucket; neither side broadcasts (the big-build-side shape
+    lookup_enrich can't serve)."""
+    from ..stages.join import hash_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    return hash_join(ev, cust, left_on="user_id", right_on="c_custkey", how="inner")
+
+
 def _custkeys_with_urgent_orders(sf_dir: str) -> "pa.Array":
     """Distinct custkeys holding 1-URGENT orders — the tiny build side for
     semi/anti joins (urgent-only so BOTH joins select non-trivially)."""

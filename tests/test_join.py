@@ -1,0 +1,94 @@
+"""Generic distributed hash join (stages/join.py): union-then-bucket, one
+keyed exchange, per-bucket merge — python-oracled against pd.merge."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from node_shovel_ray.stages.join import hash_join
+
+
+def _sides():
+    left = pa.table(
+        {
+            "event_id": pa.array(range(20), pa.int64()),
+            "user_id": pa.array([i % 7 for i in range(20)], pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "c_custkey": pa.array([0, 1, 2, 3, 9], pa.int64()),
+            "seg": pa.array(["a", "b", "c", "d", "z"]),
+        }
+    )
+    return left, right
+
+
+def _canon(df):
+    return df.sort_values(["event_id"]).reset_index(drop=True)
+
+
+def test_inner_join_matches_pandas(ray_session):
+    left, right = _sides()
+    got = _canon(
+        hash_join(
+            rd.from_arrow(left), rd.from_arrow(right),
+            left_on="user_id", right_on="c_custkey",
+        ).to_pandas()
+    )
+    want = _canon(
+        left.to_pandas().merge(
+            right.to_pandas().rename(columns={"c_custkey": "user_id"}),
+            on="user_id", how="inner",
+        )
+    )
+    pd.testing.assert_frame_equal(got[want.columns], want)
+    assert set(got["user_id"]) == {0, 1, 2, 3}  # keys 4-6 unmatched, 9 probe-less
+
+
+def test_left_join_keeps_unmatched(ray_session):
+    left, right = _sides()
+    got = _canon(
+        hash_join(
+            rd.from_arrow(left), rd.from_arrow(right),
+            left_on="user_id", right_on="c_custkey", how="left",
+        ).to_pandas()
+    )
+    assert len(got) == 20
+    assert got[got["user_id"] >= 4]["seg"].isna().all()
+    assert (got[got["user_id"] < 4]["seg"].notna()).all()
+
+
+def test_join_layout_independent(ray_session):
+    left, right = _sides()
+    a = _canon(
+        hash_join(
+            rd.from_arrow(left), rd.from_arrow(right),
+            left_on="user_id", right_on="c_custkey",
+        ).to_pandas()
+    )
+    b = _canon(
+        hash_join(
+            rd.from_arrow(left).repartition(7), rd.from_arrow(right).repartition(3),
+            left_on="user_id", right_on="c_custkey", num_blocks=5,
+        ).to_pandas()
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_join_rejects_column_clash_and_bad_how(ray_session):
+    left, right = _sides()
+    with pytest.raises(ValueError, match="how"):
+        hash_join(
+            rd.from_arrow(left), rd.from_arrow(right),
+            left_on="user_id", right_on="c_custkey", how="outer",
+        )
+    clash = rd.from_arrow(
+        pa.table({"c_custkey": pa.array([1], pa.int64()),
+                  "event_id": pa.array([9], pa.int64())})
+    )
+    with pytest.raises(ValueError, match="overlapping"):
+        hash_join(rd.from_arrow(left), clash, left_on="user_id", right_on="c_custkey")
