@@ -166,6 +166,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # generic shuffle hash join + text normalization (r3)
         "hash_join_events_customers": relational.hash_join_events_customers,
         "normalize_docs": corpus.normalize_docs,
+        # histogram quantile sketch + the composed curation flagship (r3)
+        "approx_median_value_hist": relational.approx_median_value_hist,
+        "curated_docs": corpus.curated_docs,
     }
 
 
@@ -355,6 +358,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id, c_mktsegment
             FROM events JOIN customer ON user_id = c_custkey
         """,
+        "approx_median_value_hist": Q.Q_APPROX_MEDIAN_HIST,
+        "curated_docs": Q.Q_CURATED_DOCS,
         "normalize_docs": r"""
             SELECT doc_id,
               trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g'))

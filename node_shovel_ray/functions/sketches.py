@@ -100,6 +100,56 @@ def hll_estimate_int(regs: np.ndarray) -> int:
     return int(np.floor(hll_estimate(regs) + 0.5))
 
 
+def grouped_hist_quantile(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    value_col: str,
+    q: float = 0.5,
+    bin_width: float = 0.1,
+    out: str = "approx_q",
+) -> "ray.data.Dataset":
+    """Mergeable fixed-width-histogram quantile sketch (approx quantile
+    whose error is bounded by ``bin_width``).
+
+    Exact grouped quantiles (relational.median_value_per_type) move every
+    group value through the exchange; this sketch pre-aggregates a
+    ``(group, bin) → count`` histogram per batch, so the exchange carries
+    one row per distinct bin per block. The estimate is the lower edge of
+    the first bin whose cumulative count reaches ``ceil(q·n)``.
+
+    Every step — ``floor(value / bin_width)``, integer cumsum, threshold,
+    ``bin · bin_width`` — is the same IEEE-754 float64 op in DuckDB, so
+    the WHOLE sketch is SQL-oracle-reproducible (no seeded hashing
+    needed)."""
+    from ..stages.keyed import keyed_map_blocks
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        bins = np.floor(df[value_col].to_numpy(np.float64) / bin_width).astype(
+            np.int64
+        )
+        return (
+            df.assign(_bin=bins)
+            .groupby([group_col, "_bin"], sort=False)
+            .size()
+            .reset_index(name="_n")
+        )
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+
+    def reduce_group(df: pd.DataFrame) -> pd.DataFrame:
+        out_g, out_v = [], []
+        for g, sub in df.groupby(group_col, sort=False):
+            hist = sub.groupby("_bin")["_n"].sum().sort_index()
+            thr = int(np.ceil(q * int(hist.sum())))
+            cum = hist.cumsum().to_numpy()
+            sel = int(hist.index[np.searchsorted(cum, thr, side="left")])
+            out_g.append(g)
+            out_v.append(sel * bin_width)
+        return pd.DataFrame({group_col: out_g, out: np.asarray(out_v, np.float64)})
+
+    return keyed_map_blocks(parts, [group_col], reduce_group)
+
+
 def approx_count_distinct(
     ds: "ray.data.Dataset",
     group_col: str,

@@ -184,6 +184,42 @@ def sample_docs_fraction(sf_dir: str, p: float = 0.2) -> "rd.Dataset":
     return sample_fraction(_docs(sf_dir, ["doc_id", "lang"]), p=p, id_col="doc_id")
 
 
+def curated_docs(sf_dir: str, min_quality: float = 0.4, k: int = 10) -> "rd.Dataset":
+    """The corpus-curation FLAGSHIP: the composed training-data pipeline a
+    100 TB run actually executes —
+
+      normalize → quality-score filter → exact dedup on normalized text
+      (keep min doc_id) → deterministic per-language sample (k per lang)
+
+    — end-to-end as ONE streaming Ray plan (two keyed exchanges: dedup on
+    text_norm, sample on lang; everything else is task-fused map_batches),
+    and end-to-end SQL-oracle-paired (every stage has an exact DuckDB
+    twin; the filter compares the ROUNDED quality on both sides so float
+    tie-break cannot diverge)."""
+    import pyarrow.compute as pc
+
+    from ..functions.sampling import sample_per_group
+    from ..functions.textstats import normalize_text, quality_score
+    from ..stages.keyed import first_per_key_block, keyed_map_blocks
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = normalize_text(t)
+        t = quality_score(t)
+        q = pc.round(t["quality"], 4, round_mode="half_towards_infinity")
+        keep = pc.greater_equal(q, min_quality)
+        return t.filter(keep).select(["doc_id", "lang", "text_norm"])
+
+    ds = _docs(sf_dir, ["doc_id", "lang", "text"]).map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True
+    )
+    dedup = keyed_map_blocks(
+        ds, ["text_norm"], first_per_key_block(["text_norm"], order_col="doc_id")
+    ).drop_columns(["text_norm"])
+    return sample_per_group(
+        dedup, group_col="lang", k=k, id_col="doc_id"
+    ).select_columns(["doc_id", "lang"])
+
+
 # Sketch queries have no SQL oracle (hash functions DuckDB cannot reproduce
 # / recall<1 by design). To keep regressions catchable at the driver's gate
 # scale anyway, each asserts an internal invariant against an exact

@@ -530,6 +530,41 @@ def approx_distinct_users_per_type(sf_dir: str) -> "rd.Dataset":
     return out
 
 
+def approx_median_value_hist(sf_dir: str, bin_width: float = 0.1) -> "rd.Dataset":
+    """Histogram-sketch median per event type
+    (functions/sketches.grouped_hist_quantile): the 100 TB quantile path —
+    the exchange carries (group, bin, count) rows, never the values. The
+    sketch itself is SQL-reproducible (same float64 binning in DuckDB), so
+    this is a fully oracle-paired APPROXIMATE operator; error ≤ bin_width
+    vs the exact median by construction (guard below)."""
+    from ..functions.sketches import grouped_hist_quantile
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+    out = grouped_hist_quantile(
+        ev, "event_type", "value", q=0.5, bin_width=bin_width, out="approx_median"
+    )
+
+    def rounded(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.schema.get_field_index("approx_median"), "approx_median",
+            _round2(t["approx_median"]),
+        )
+
+    out = out.map_batches(rounded, batch_format="pyarrow")
+    if ev.count() <= 1_000_000:
+        got = out.to_pandas().set_index("event_type")["approx_median"]
+        exact = (
+            median_value_per_type(sf_dir).to_pandas()
+            .set_index("event_type")["median_value"]
+        )
+        for t_, v in exact.items():
+            assert abs(got[t_] - v) <= bin_width + 1e-9, (t_, got[t_], v)
+        return rd.from_pandas(
+            got.reset_index().sort_values("event_type").reset_index(drop=True)
+        )
+    return out
+
+
 def window_functions_user(sf_dir: str) -> "rd.Dataset":
     """Row-based window functions per key: lag (microseconds since the
     user's previous event; -1 for the first) and a 3-row moving average of

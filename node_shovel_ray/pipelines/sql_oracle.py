@@ -296,3 +296,59 @@ WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) < {fraction_threshold(p)}
 
 
 Q_SAMPLE_DOCS_FRACTION = _sample_fraction_sql()
+
+
+# Histogram quantile sketch twin (functions/sketches.grouped_hist_quantile):
+# same float64 binning, integer cumsum threshold, lower-edge estimate.
+Q_APPROX_MEDIAN_HIST = """
+WITH b AS (
+  SELECT event_type, CAST(floor(value / 0.1) AS BIGINT) AS bin, count(*) AS n
+  FROM events GROUP BY 1, 2
+), c AS (
+  SELECT event_type, bin, n,
+    sum(n) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+    sum(n) OVER (PARTITION BY event_type) AS total
+  FROM b
+)
+SELECT event_type,
+  round(min(bin) * 0.1, 2) AS approx_median
+FROM c WHERE cum >= ceil(0.5 * total)
+GROUP BY event_type
+"""
+
+
+def _curated_docs_sql(min_quality: float = 0.4, k: int = 10) -> str:
+    """End-to-end twin of pipelines/corpus.curated_docs: normalize →
+    rounded-quality filter → min-doc_id dedup on text_norm → md5-rank
+    sample per language."""
+    qual = _quality_docs_sql()
+    return rf"""
+WITH qual AS ({qual}),
+norm AS (
+  SELECT doc_id, lang,
+    trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g')) AS text_norm
+  FROM documents
+),
+keep AS (
+  SELECT n.doc_id, n.lang, n.text_norm
+  FROM norm n JOIN qual q ON n.doc_id = q.doc_id
+  WHERE q.quality >= {min_quality}
+),
+dedup AS (
+  SELECT text_norm, min(doc_id) AS doc_id FROM keep GROUP BY text_norm
+),
+surv AS (
+  SELECT k2.doc_id, k2.lang FROM keep k2 JOIN dedup d ON k2.doc_id = d.doc_id
+)
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+    row_number() OVER (
+      PARTITION BY lang
+      ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)), doc_id
+    ) AS rn
+  FROM surv
+) WHERE rn <= {k}
+"""
+
+
+Q_CURATED_DOCS = _curated_docs_sql()

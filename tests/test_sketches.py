@@ -34,6 +34,61 @@ def test_hll_merge_equals_union():
     assert hll_registers(a).tobytes() == hll_registers(a).tobytes()
 
 
+def test_grouped_hist_quantile_bound_and_layout(ray_session):
+    """Histogram-sketch quantile: within bin_width of the exact quantile,
+    and independent of block layout (mergeable partials)."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from node_shovel_ray.functions.sketches import grouped_hist_quantile
+
+    rng = np.random.default_rng(7)
+    vals = np.concatenate([rng.normal(10, 2, 5000), rng.normal(50, 5, 5000)])
+    grp = ["a"] * 5000 + ["b"] * 5000
+    t = pa.table({"g": pa.array(grp), "v": pa.array(vals, pa.float64())})
+    for w in (0.1, 1.0):
+        got = (
+            grouped_hist_quantile(rd.from_arrow(t), "g", "v", q=0.5, bin_width=w)
+            .to_pandas().set_index("g")["approx_q"]
+        )
+        for g in ("a", "b"):
+            exact = np.quantile(vals[:5000] if g == "a" else vals[5000:], 0.5)
+            assert abs(got[g] - exact) <= w + 1e-9
+    a = (
+        grouped_hist_quantile(rd.from_arrow(t), "g", "v")
+        .to_pandas().sort_values("g").reset_index(drop=True)
+    )
+    b = (
+        grouped_hist_quantile(rd.from_arrow(t).repartition(17), "g", "v")
+        .to_pandas().sort_values("g").reset_index(drop=True)
+    )
+    assert a.equals(b)
+
+
+def test_curated_docs_invariants(ray_session):
+    """The composed curation pipeline: survivors are unique by normalized
+    text, pass the quality floor, and are capped per language."""
+    import pandas as pd
+
+    from node_shovel_ray.functions.textstats import QualityScore, normalize_text
+    from node_shovel_ray.pipelines.corpus import curated_docs
+
+    got = curated_docs("/root/testdata/sf0.001").to_pandas()
+    assert (got.groupby("lang").size() <= 10).all()
+    docs = pd.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "lang", "text"],
+    )
+    sel = docs[docs["doc_id"].isin(got["doc_id"])].copy()
+    q = QualityScore()(sel)
+    assert (q["quality"].round(4) >= 0.4).all()
+    import pyarrow as pa
+
+    norm = normalize_text(pa.Table.from_pandas(sel, preserve_index=False))
+    assert norm["text_norm"].to_pandas().is_unique
+
+
 def test_md5_lower64_matches_duckdb():
     """md5_lower64 must equal DuckDB md5_number_lower(CAST(v AS VARCHAR))
     — the contract that makes the HLL sketch SQL-oracle-checkable."""
