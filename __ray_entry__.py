@@ -169,6 +169,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # histogram quantile sketch + the composed curation flagship (r3)
         "approx_median_value_hist": relational.approx_median_value_hist,
         "curated_docs": corpus.curated_docs,
+        # sequence packing (distributed ordered prefix sum) + eval-set
+        # decontamination (broadcast anti filter on normalized text)
+        "pack_docs_seq": corpus.pack_docs_seq,
+        "decontaminate_docs": corpus.decontaminate_docs,
     }
 
 
@@ -360,6 +364,35 @@ def oracle_sql() -> dict[str, str]:
         """,
         "approx_median_value_hist": Q.Q_APPROX_MEDIAN_HIST,
         "curated_docs": Q.Q_CURATED_DOCS,
+        "pack_docs_seq": r"""
+            WITH t AS (
+              SELECT doc_id,
+                CASE WHEN trim(text) = '' THEN 0
+                     ELSE CAST(array_length(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                END AS n_tokens
+              FROM documents
+            ), c AS (
+              SELECT doc_id, n_tokens,
+                CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                  - n_tokens AS BIGINT) AS "offset"
+              FROM t
+            )
+            SELECT doc_id, n_tokens, "offset",
+                   CAST("offset" // 512 AS BIGINT) AS pack_id
+            FROM c
+        """,
+        "decontaminate_docs": r"""
+            WITH norm AS (
+              SELECT doc_id,
+                trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g'))
+                  AS tn
+              FROM documents
+            ), bench AS (
+              SELECT tn FROM norm WHERE doc_id % 97 = 0
+            )
+            SELECT n.doc_id FROM norm n
+            WHERE NOT EXISTS (SELECT 1 FROM bench b WHERE b.tn = n.tn)
+        """,
         "normalize_docs": r"""
             SELECT doc_id,
               trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g'))

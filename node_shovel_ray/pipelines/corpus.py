@@ -220,6 +220,67 @@ def curated_docs(sf_dir: str, min_quality: float = 0.4, k: int = 10) -> "rd.Data
     ).select_columns(["doc_id", "lang"])
 
 
+def pack_docs_seq(sf_dir: str, budget: int = 512) -> "rd.Dataset":
+    """Sequence packing (functions/packing.pack_docs): every doc's global
+    token offset in doc_id order and its training-window id — the
+    concat-then-chunk LLM data-prep step, built on a distributed ordered
+    prefix sum (range buckets + driver-side bucket-total prefix; the
+    driver only ever sees n_buckets numbers). Fully oracle-paired: the
+    whole operator is one SQL window cumsum."""
+    from ..functions.packing import pack_docs
+
+    counts = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(token_count, batch_format="pyarrow", zero_copy_batch=True)
+        .select_columns(["doc_id", "n_tokens"])
+    )
+    return pack_docs(counts, budget=budget)
+
+
+def decontaminate_docs(sf_dir: str) -> "rd.Dataset":
+    """Eval-set decontamination: drop every document whose NORMALIZED text
+    exactly matches a benchmark blocklist (here: the deterministic pretend
+    eval set doc_id % 97 == 0). The blocklist is a small broadcast set →
+    streaming anti-join filter, the corpus never shuffles; matching is on
+    normalize_text output so whitespace/case variants are caught."""
+    import pyarrow.compute as pc
+
+    from ..functions.textstats import normalize_text
+
+    def norm(t: pa.Table) -> pa.Table:
+        return normalize_text(t).select(["doc_id", "text_norm"])
+
+    docs = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        norm, batch_format="pyarrow", zero_copy_batch=True
+    )
+    # benchmark texts: small side, collected once and broadcast into the
+    # anti filter (null text_norm never blocks — NOT EXISTS semantics,
+    # matching the SQL twin)
+    bench_tn = {
+        r["text_norm"]
+        for r in docs.map_batches(
+            lambda t: t.filter(
+                pc.equal(
+                    pc.subtract(
+                        t["doc_id"],
+                        pc.multiply(pc.divide(t["doc_id"], 97), 97),
+                    ),
+                    0,
+                )
+            ),
+            batch_format="pyarrow",
+        ).select_columns(["text_norm"]).take_all()
+        if r["text_norm"] is not None
+    }
+    blockset = pa.array(sorted(bench_tn), pa.string())
+
+    def anti(t: pa.Table) -> pa.Table:
+        hit = pc.fill_null(pc.is_in(t["text_norm"], value_set=blockset), False)
+        return t.filter(pc.invert(hit)).select(["doc_id"])
+
+    return docs.map_batches(anti, batch_format="pyarrow")
+
+
 # Sketch queries have no SQL oracle (hash functions DuckDB cannot reproduce
 # / recall<1 by design). To keep regressions catchable at the driver's gate
 # scale anyway, each asserts an internal invariant against an exact
