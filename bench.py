@@ -151,6 +151,12 @@ def _side_queries() -> dict[str, float]:
         .map_batches(quality_score, batch_format="pyarrow")
         .count(),
     )
+
+    from node_shovel_ray.pipelines import corpus
+
+    timed("curation_pipeline", lambda: corpus.curated_docs(SF_DIR).count())
+    timed("pack_docs", lambda: corpus.pack_docs_seq(SF_DIR).count())
+    timed("embed_neardup_tiled", lambda: corpus.embed_neardup(SF_DIR).num_rows)
     return out
 
 

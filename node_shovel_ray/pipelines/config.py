@@ -325,6 +325,83 @@ def _pl_filter(o):
     )
 
 
+@register("pipeline", "chain")
+def _pl_chain(o):
+    """Compose several pipeline stages in order:
+    ``use: chain, options: {stages: [{use: normalize}, {use: sample, ...}]}``
+    — the YAML analogue of a multi-node shovel pipeline body."""
+    subs = [_resolve("pipeline", s) for s in o.get("stages", [])]
+
+    def fn(ds):
+        for s in subs:
+            ds = s(ds)
+        return ds
+
+    return fn
+
+
+@register("pipeline", "normalize")
+def _pl_normalize(o):
+    """Text normalization stage (NFC → lower → collapse ws → trim)."""
+    from ..functions.textstats import normalize_text
+
+    col = o.get("column", "text")
+    out = o.get("out", "text_norm")
+    return lambda ds: ds.map_batches(
+        lambda t: normalize_text(t, column=col, out=out),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
+@register("pipeline", "sample")
+def _pl_sample(o):
+    """Deterministic sampling: ``fraction: 0.1`` (hash cutoff) or
+    ``per_group: {group: lang, k: 10}`` (hash-rank reservoir)."""
+    from ..functions.sampling import sample_fraction, sample_per_group
+
+    id_col = o.get("id_col", "doc_id")
+    if "fraction" in o:
+        p = float(o["fraction"])
+        return lambda ds: sample_fraction(ds, p, id_col=id_col)
+    pg = o["per_group"]
+    return lambda ds: sample_per_group(
+        ds, group_col=pg["group"], k=int(pg["k"]), id_col=id_col
+    )
+
+
+@register("pipeline", "pack")
+def _pl_pack(o):
+    """Sequence packing: global token offsets + training-window ids."""
+    from ..functions.packing import pack_docs
+
+    return lambda ds: pack_docs(
+        ds,
+        budget=int(o["budget"]),
+        id_col=o.get("id_col", "doc_id"),
+        token_col=o.get("token_col", "n_tokens"),
+    )
+
+
+@register("pipeline", "join")
+def _pl_join(o):
+    """Distributed hash join against another table (parquet path)."""
+    import ray.data as _rd
+
+    from ..stages.join import hash_join
+
+    def fn(ds):
+        right = _rd.read_parquet(o["path"], columns=o.get("columns"))
+        return hash_join(
+            ds,
+            right,
+            left_on=o["left_on"],
+            right_on=o.get("right_on"),
+            how=o.get("how", "inner"),
+        )
+
+    return fn
+
+
 @register("pipeline", "window")
 def _pl_window(o):
     """Tumbling-window aggregate; ``size`` accepts Duration strings

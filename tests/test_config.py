@@ -191,6 +191,37 @@ def test_window_stage_duration_config(ray_session):
     assert list(out["n"]) == [1, 2]
 
 
+def test_chain_and_curation_stages(ray_session):
+    """r3 config surface: chain combinator + normalize/sample stages, the
+    YAML analogue of a multi-node shovel pipeline body."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from node_shovel_ray.pipelines.config import REGISTRY
+
+    stage = REGISTRY["pipeline"]["chain"](
+        {
+            "stages": [
+                {"use": "normalize"},
+                {"use": "sample", "options": {"per_group": {"group": "lang", "k": 2},
+                                              "id_col": "doc_id"}},
+            ]
+        }
+    )
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(20), pa.int64()),
+                "lang": pa.array(["en", "de"] * 10),
+                "text": pa.array([f"  Some   TEXT {i} " for i in range(20)]),
+            }
+        )
+    )
+    out = stage(ds).to_pandas()
+    assert (out.groupby("lang").size() == 2).all()
+    assert out["text_norm"].str.match(r"some text \d+$").all()
+
+
 def test_window_stage_rejects_subsecond_size():
     """ADVICE r2: '500ms' used to truncate to size_s=0 and floor-divide
     every row into the epoch-0 window; sub-/fractional-second sizes must
