@@ -591,13 +591,17 @@ def _resolve(kind: str, section: dict) -> Callable:
     return factory(section.get("options", {}) or {})
 
 
-def build(cfg: PipelineConfig):
+def build(cfg: PipelineConfig, capture: dict | None = None):
     """Compile the six-stage chain into one lazy callable; run() executes.
 
     Stage order mirrors processor.load() wiring
     (input→decoder→pipeline→encoder→output, src/core/processor.js:79-84);
     the queue stage has no analogue — Ray Data's streaming executor provides
     the buffering/backpressure it existed for (SURVEY.md §4.2).
+
+    ``capture``, if given, receives ``{"dataset": <final pre-sink Dataset>}``
+    so callers can read ``dataset.stats()`` after execution (the CLI's
+    per-operator metrics dump — reference aggregated-metrics UX).
     """
     source = _resolve("input", cfg.input)
     stages = [
@@ -612,6 +616,8 @@ def build(cfg: PipelineConfig):
         ds = source()
         for stage in stages:
             ds = stage(ds)
+        if capture is not None:
+            capture["dataset"] = ds
         if multi is None:
             return sink(ds)
         # multi-output: materialize once so sinks don't recompute upstream
