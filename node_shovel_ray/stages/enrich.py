@@ -168,10 +168,21 @@ def seq_number_salted(
         )
         return df
 
-    ranked = keyed_map_blocks(salted, [key, "_salt"], rank_chunks)
+    # materialize once: the counts pass AND the offset map both read
+    # `ranked`; branching it lazy would re-run the keyed exchange twice
+    ranked = keyed_map_blocks(salted, [key, "_salt"], rank_chunks).materialize()
 
-    # per-(key, salt) counts — tiny table (one row per chunk) → driver-safe
-    counts = ranked.groupby([key, "_salt"]).count().to_pandas()
+    # per-(key, salt) counts — the keyed exchange already co-located every
+    # (key, salt) group in ONE block, so block-local sizes ARE the global
+    # counts: a cheap projection scan, not a second exchange
+    # (`Dataset.groupby().count()` here sort-shuffles the whole wide rows
+    # to count 1.5k groups — measured 25 s vs <1 s at sf0.1)
+    def block_counts(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby([key, "_salt"], sort=False).size().reset_index(name="count()")
+        )
+
+    counts = ranked.map_batches(block_counts, batch_format="pandas").to_pandas()
     counts = counts.sort_values([key, "_salt"], kind="mergesort")
     counts["_offset"] = counts.groupby(key)["count()"].cumsum() - counts["count()"]
     offsets = pa.table(
@@ -182,6 +193,8 @@ def seq_number_salted(
         }
     )
     ref = ray.put(offsets)
+
+    from .keyed import default_pool
 
     class AddOffset:
         def __init__(self):
@@ -195,4 +208,8 @@ def seq_number_salted(
             ).astype("int64")
             return b.drop(columns=["_salt", "_chunk_rank"])
 
-    return ranked.map_batches(AddOffset, batch_format="pandas", concurrency=(1, 2))
+    # autoscaling pool: a fixed cap of 2 actors used to throttle every map
+    # stage Ray fused behind it (CLAUDE.md pool-fusion hazard)
+    return ranked.map_batches(
+        AddOffset, batch_format="pandas", concurrency=default_pool()
+    )
