@@ -62,12 +62,20 @@ def pack_docs(
         add_range_bucket, batch_format="pyarrow", zero_copy_batch=True
     )
 
-    # per-bucket totals → driver prefix sum (n_buckets rows, never data)
+    # per-bucket totals → driver prefix sum (n_buckets rows, never data).
+    # Pre-combine per block so the exchange carries one row per (block,
+    # bucket), not one per document.
+    def block_totals(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby("_rb", sort=False)[token_col].sum().reset_index(name="_t")
+        )
+
     from ray.data.aggregate import Sum
 
     totals = (
-        bucketed.groupby("_rb")
-        .aggregate(Sum(token_col, alias_name="_t"))
+        bucketed.map_batches(block_totals, batch_format="pandas")
+        .groupby("_rb")
+        .aggregate(Sum("_t", alias_name="_t"))
         .to_pandas()
         .sort_values("_rb")
     )

@@ -52,19 +52,37 @@ def tumbling_aggregate(
     partial→final groupby, so the exchange carries one row per
     (key, window) per block — never the raw events.
     """
-    aggs = [Count(alias_name="n")]
+    size_us = size_s * 1_000_000
+
+    # pre-combine per block: Dataset.groupby().aggregate() sort-shuffles its
+    # INPUT rows (no map-side combine in Ray 2.49 — measured on the salted
+    # seq path), so aggregate partials first and exchange one row per
+    # (key, window) per block, never the events
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        us = df[ts_col].to_numpy("datetime64[us]").astype("int64")
+        df = df.assign(window=((us // size_us) * size_us).astype("datetime64[us]"))
+        g = df.groupby([*keys, "window"], sort=False)
+        if value_col:
+            out = g.agg(
+                n=(ts_col, "size"),
+                sum_value=(value_col, "sum"),
+                min_value=(value_col, "min"),
+                max_value=(value_col, "max"),
+            ).reset_index()
+        else:
+            out = g.size().reset_index(name="n")
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+    aggs = [Sum("n", alias_name="n")]
     if value_col:
         aggs += [
-            Sum(value_col, alias_name="sum_value"),
-            Min(value_col, alias_name="min_value"),
-            Max(value_col, alias_name="max_value"),
+            Sum("sum_value", alias_name="sum_value"),
+            Min("min_value", alias_name="min_value"),
+            Max("max_value", alias_name="max_value"),
         ]
-    win = ds.map_batches(
-        lambda t: add_tumbling_window(t, ts_col, size_s),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
-    return win.groupby([*keys, "window"]).aggregate(*aggs)
+    return parts.groupby([*keys, "window"]).aggregate(*aggs)
 
 
 def sliding_count(
@@ -83,20 +101,26 @@ def sliding_count(
     if size_s % step_s:
         raise ValueError("size_s must be a multiple of step_s")
     k = size_s // step_s
-    size_us, step_us = size_s * 1_000_000, step_s * 1_000_000
+    step_us = step_s * 1_000_000
 
-    def explode(t: pa.Table) -> pa.Table:
-        us = pc.cast(t[ts_col], pa.int64()).to_numpy()
+    # pre-combine then explode: count per (keys, base window) per block
+    # FIRST, and fan the k window memberships out over the aggregated rows
+    # — the exchange (and the ×k duplication) carries counts, never events
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        us = df[ts_col].to_numpy("datetime64[us]").astype("int64")
         # last window whose [start, start+size) contains ts
-        last_start = (us // step_us) * step_us
-        outs = []
-        for i in range(k):
-            start = last_start - i * step_us
-            sub = t.append_column(
-                out_prefix, pa.array(start.astype("datetime64[us]"))
-            )
-            outs.append(sub)
-        return pa.concat_tables(outs)
+        df = df.assign(_base=(us // step_us) * step_us)
+        g = df.groupby([*keys, "_base"], sort=False).size().reset_index(name="n")
+        reps = pd.concat(
+            [
+                g.assign(
+                    **{out_prefix: (g["_base"] - i * step_us).astype("datetime64[us]")}
+                )
+                for i in range(k)
+            ]
+        )
+        reps["n"] = reps["n"].astype("int64")
+        return reps.drop(columns=["_base"])
 
-    exploded = ds.map_batches(explode, batch_format="pyarrow")
-    return exploded.groupby([*keys, out_prefix]).aggregate(Count(alias_name="n"))
+    parts = ds.map_batches(partial, batch_format="pandas")
+    return parts.groupby([*keys, out_prefix]).aggregate(Sum("n", alias_name="n"))
