@@ -49,11 +49,19 @@ def agg_pricing_summary(sf_dir: str) -> "rd.Dataset":
         rev = pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))
         return t.append_column("revenue", rev)
 
+    from ..stages.aggregate import combinable_groupby
+
     ds = ds.map_batches(revenue, batch_format="pyarrow", zero_copy_batch=True)
-    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("l_quantity", alias_name="sum_qty"),
-        Sum("revenue", alias_name="sum_revenue"),
-        Count(alias_name="n"),
+    # partial-then-final: the exchange carries one row per (flags, block),
+    # never the lineitem rows
+    out = combinable_groupby(
+        ds,
+        ["l_returnflag", "l_linestatus"],
+        {
+            "sum_qty": ("l_quantity", "sum"),
+            "sum_revenue": ("revenue", "sum"),
+            "n": (None, "count"),
+        },
     )
 
     def rounded(t: pa.Table) -> pa.Table:
@@ -81,10 +89,14 @@ def join_orders_customers(sf_dir: str) -> "rd.Dataset":
             "c_mktsegment": pa.array(cust["c_mktsegment"], pa.string()),
         }
     )
+    from ..stages.aggregate import combinable_groupby
+
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     joined = lookup_enrich(orders, lookup, key="o_custkey", concurrency=(1, 4))
-    out = joined.groupby("c_mktsegment").aggregate(
-        Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total")
+    out = combinable_groupby(
+        joined,
+        ["c_mktsegment"],
+        {"n_orders": (None, "count"), "total": ("o_totalprice", "sum")},
     )
     return out.map_batches(
         lambda t: t.set_column(
@@ -159,7 +171,9 @@ def grouped_topk_hours(sf_dir: str, k: int = 3) -> "rd.Dataset":
         ),
         batch_format="pyarrow",
     )
-    hourly = ev.groupby(["event_type", "ts"]).aggregate(Count(alias_name="n"))
+    from ..stages.aggregate import combinable_groupby
+
+    hourly = combinable_groupby(ev, ["event_type", "ts"], {"n": (None, "count")})
 
     def topk(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["event_type", "n", "ts"],
@@ -181,12 +195,14 @@ def distinct_users_per_type(sf_dir: str) -> "rd.Dataset":
 
     from ..stages.keyed import first_per_key_block, keyed_map_blocks
 
+    from ..stages.aggregate import combinable_groupby
+
     pairs = _read(sf_dir, "events", ["event_type", "user_id"])
     dedup = keyed_map_blocks(
         pairs, ["event_type", "user_id"],
         first_per_key_block(["event_type", "user_id"]),
     )
-    return dedup.groupby("event_type").aggregate(Count(alias_name="n_users"))
+    return combinable_groupby(dedup, ["event_type"], {"n_users": (None, "count")})
 
 
 def asof_join_events_orders(sf_dir: str) -> "rd.Dataset":

@@ -54,6 +54,46 @@ def _partial_counts(batch: pa.Table) -> pa.Table:
     ).rename_columns(["sink_tag", "role", "tool", "hour", "partial_n"])
 
 
+def combinable_groupby(
+    ds: "ray.data.Dataset",
+    keys: list[str],
+    aggs: dict[str, tuple[str | None, str]],
+) -> "ray.data.Dataset":
+    """Partial-then-final grouped aggregate for COMBINABLE functions.
+
+    ``aggs``: out_name → (column, fn) with fn ∈ {count, sum, min, max}
+    (count ignores the column). Ray's ``groupby().aggregate()`` sort-shuffles
+    its input rows with no map-side combine (Ray 2.49); this computes one
+    partial row per (key-tuple, block) inside ``map_batches`` first, so the
+    exchange carries O(groups × blocks) rows, never the data."""
+    import pandas as pd
+
+    from ray.data.aggregate import Max, Min
+    from ray.data.aggregate import Sum as _Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(keys, sort=False)
+        spec = {
+            name: ((col or keys[0]), "size" if fn == "count" else fn)
+            for name, (col, fn) in aggs.items()
+        }
+        out = g.agg(**spec).reset_index()
+        for name, (_, fn) in aggs.items():
+            if fn == "count":
+                out[name] = out[name].astype("int64")
+        return out
+
+    finals = [
+        {"count": _Sum, "sum": _Sum, "min": Min, "max": Max}[fn](
+            name, alias_name=name
+        )
+        for name, (_, fn) in aggs.items()
+    ]
+    return ds.map_batches(partial, batch_format="pandas").groupby(keys).aggregate(
+        *finals
+    )
+
+
 def sink_counts(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     """Routed dataset → (sink_tag, role, tool, hour, n) counts."""
     partial = ds.map_batches(
