@@ -125,6 +125,42 @@ def test_runner_emits_counters_and_metrics(ray_session, tmp_path):
     assert ResumableRunner(out).metrics()["counters"] == m["counters"]
 
 
+def test_combinable_groupby_matches_plain(ray_session):
+    """combinable_groupby (per-block partials + tiny final exchange) must
+    equal a direct pandas groupby for every supported fn."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from node_shovel_ray.stages.aggregate import combinable_groupby
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(list("abcd"), 5000),
+            "v": rng.normal(size=5000),
+        }
+    )
+    got = (
+        combinable_groupby(
+            rd.from_pandas(df).repartition(11),
+            ["g"],
+            {"n": (None, "count"), "s": ("v", "sum"),
+             "lo": ("v", "min"), "hi": ("v", "max")},
+        )
+        .to_pandas().sort_values("g").reset_index(drop=True)
+    )
+    want = (
+        df.groupby("g")
+        .agg(n=("v", "size"), s=("v", "sum"), lo=("v", "min"), hi=("v", "max"))
+        .reset_index()
+    )
+    assert got["n"].tolist() == want["n"].tolist()
+    assert np.allclose(got["s"], want["s"])
+    assert np.allclose(got["lo"], want["lo"]) and np.allclose(got["hi"], want["hi"])
+
+
 def test_flagship_process_counters_reconcile(tiny_fixture, tiny_tables, tmp_path):
     """The flagship DAG drops nothing: every input row lands in exactly one
     primary sink, audit is broadcast — the invariant holds per partition
