@@ -173,6 +173,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # decontamination (broadcast anti filter on normalized text)
         "pack_docs_seq": corpus.pack_docs_seq,
         "decontaminate_docs": corpus.decontaminate_docs,
+        # repetition quality signal + n-gram-overlap contamination (r3)
+        "repetition_docs": corpus.repetition_docs,
+        "contaminated_docs": corpus.contaminated_docs,
     }
 
 
@@ -364,6 +367,44 @@ def oracle_sql() -> dict[str, str]:
         """,
         "approx_median_value_hist": Q.Q_APPROX_MEDIAN_HIST,
         "curated_docs": Q.Q_CURATED_DOCS,
+        "repetition_docs": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                list_filter(string_split_regex(text, '[ \t\n\r\f\v]+'),
+                            x -> x <> '') AS tk
+              FROM documents
+            ), grams AS (
+              SELECT doc_id,
+                list_transform(range(1, greatest(len(tk) - 2, 0) + 1),
+                               i -> array_to_string(tk[i:i+2], ' ')) AS gs
+              FROM toks
+            )
+            SELECT doc_id,
+              CAST(len(gs) AS BIGINT) AS n_ngrams,
+              CAST(len(list_distinct(gs)) AS BIGINT) AS n_distinct_ngrams,
+              CASE WHEN len(gs) = 0 THEN 0.0
+                   ELSE round(1 - len(list_distinct(gs))
+                              / CAST(len(gs) AS DOUBLE), 4)
+              END AS dup_ngram_ratio
+            FROM grams
+        """,
+        "contaminated_docs": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                list_filter(string_split_regex(text, '[ \t\n\r\f\v]+'),
+                            x -> x <> '') AS tk
+              FROM documents
+            ), grams AS (
+              SELECT doc_id,
+                unnest(list_transform(range(1, greatest(len(tk) - 4, 0) + 1),
+                                      i -> array_to_string(tk[i:i+4], ' '))) AS g
+              FROM toks
+            ), bench AS (
+              SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0
+            )
+            SELECT DISTINCT doc_id FROM grams
+            WHERE doc_id % 97 <> 0 AND g IN (SELECT g FROM bench)
+        """,
         "pack_docs_seq": r"""
             WITH t AS (
               SELECT doc_id,

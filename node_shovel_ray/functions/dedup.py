@@ -357,6 +357,62 @@ def ngram_jaccard(
     )
 
 
+def ngram_contamination(
+    docs: "ray.data.Dataset",
+    bench_grams: "pa.Array",
+    column: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> "ray.data.Dataset":
+    """Benchmark-contamination flagging by n-gram OVERLAP (the standard
+    eval-decontamination rule — any shared word n-gram, not just exact
+    text match): returns the ids of docs sharing ≥1 n-gram with the
+    broadcast benchmark n-gram set.
+
+    The benchmark side is small (an eval set) → its distinct n-gram
+    strings broadcast into a streaming membership filter (``pc.is_in`` on
+    exact strings — no hash-collision false flags); the corpus never
+    shuffles. Build ``bench_grams`` with :func:`text_ngrams`."""
+    import pyarrow.compute as pc
+
+    def flag(t: pa.Table) -> pa.Table:
+        grams, offs = _flat_ngrams(t[column].to_pylist(), n)
+        if len(grams):
+            hit = pc.is_in(
+                pa.array(grams, pa.string()), value_set=bench_grams
+            ).to_numpy(zero_copy_only=False)
+            cs = np.concatenate([[0], np.cumsum(hit.astype(np.int64))])
+            any_hit = (cs[offs[1:]] - cs[offs[:-1]]) > 0
+        else:
+            any_hit = np.zeros(len(t), dtype=bool)
+        return t.filter(pa.array(any_hit)).select([id_col])
+
+    return docs.map_batches(flag, batch_format="pyarrow")
+
+
+def text_ngrams(texts: list[str], n: int = 5) -> "pa.Array":
+    """Distinct word n-grams of ``texts`` as an Arrow string array (the
+    broadcast side for :func:`ngram_contamination`)."""
+    grams, _ = _flat_ngrams(texts, n)
+    return pa.array(sorted(set(grams)), pa.string())
+
+
+def _flat_ngrams(texts: list[str], n: int):
+    """texts → (flat n-gram strings, per-text offsets); whitespace split on
+    the explicit ASCII class (RE2/Python-identical, same as fingerprint)."""
+    import re
+
+    ws_re = re.compile(r"[ \t\n\r\f\v]+")
+    grams: list[str] = []
+    offsets = [0]
+    for t in texts:
+        toks = [x for x in ws_re.split(t or "") if x]
+        if len(toks) >= n:
+            grams.extend(" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1))
+        offsets.append(len(grams))
+    return grams, np.asarray(offsets, dtype=np.int64)
+
+
 def _attach_text(
     pairs: "ray.data.Dataset",
     texts: "ray.data.Dataset",

@@ -200,6 +200,51 @@ def normalize_text(
     return batch.append_column(out, x)
 
 
+def repetition_stats(
+    batch: pa.Table, column: str = "text", n: int = 3,
+) -> pa.Table:
+    """Intra-document repetition signal (the Gopher/C4-style quality rule
+    "fraction of duplicate n-grams"): per doc, the count of word n-grams,
+    distinct n-grams, and ``dup_ngram_ratio = 1 - distinct/total`` (0.0
+    for docs shorter than ``n`` tokens).
+
+    Fully vectorized: ONE hash over every doc's n-grams, one global
+    lexsort by (doc, hash), boundary-count per segment — no per-doc set
+    ops. SQL twin: list_distinct over the same n-gram lists."""
+    import re
+
+    ws_re = re.compile(r"[ \t\n\r\f\v]+")
+    texts = batch[column].to_pylist()
+    grams: list[str] = []
+    offsets = [0]
+    for t in texts:
+        toks = [x for x in ws_re.split(t or "") if x]
+        if len(toks) >= n:
+            grams.extend(" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1))
+        offsets.append(len(grams))
+    offs = np.asarray(offsets, dtype=np.int64)
+    total = (offs[1:] - offs[:-1]).astype(np.int64)
+    if grams:
+        hs = pd.util.hash_array(np.array(grams, dtype=object))
+        seg = np.repeat(np.arange(len(texts), dtype=np.int64), total)
+        order = np.lexsort((hs, seg))
+        s_seg, s_h = seg[order], hs[order]
+        new = np.ones(len(s_seg), dtype=np.int64)
+        new[1:] = (s_seg[1:] != s_seg[:-1]) | (s_h[1:] != s_h[:-1])
+        cs = np.concatenate([[0], np.cumsum(new)])
+        distinct = cs[offs[1:]] - cs[offs[:-1]]
+    else:
+        distinct = np.zeros(len(texts), dtype=np.int64)
+    ratio = np.where(total > 0, 1.0 - distinct / np.maximum(total, 1), 0.0)
+    # round(4) half-away-from-zero, matching the DuckDB oracle
+    ratio = np.sign(ratio) * np.floor(np.abs(ratio) * 10_000 + 0.5) / 10_000
+    return (
+        batch.append_column("n_ngrams", pa.array(total, pa.int64()))
+        .append_column("n_distinct_ngrams", pa.array(distinct, pa.int64()))
+        .append_column("dup_ngram_ratio", pa.array(ratio, pa.float64()))
+    )
+
+
 def fingerprint_md5(
     batch: pa.Table, column: str = "text", out: str = "fingerprint",
     window: int = 8,

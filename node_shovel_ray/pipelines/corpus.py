@@ -281,6 +281,50 @@ def decontaminate_docs(sf_dir: str) -> "rd.Dataset":
     return docs.map_batches(anti, batch_format="pyarrow")
 
 
+def repetition_docs(sf_dir: str, n: int = 3) -> "rd.Dataset":
+    """Gopher/C4-style intra-doc repetition signal: duplicate-n-gram ratio
+    per document (fully oracle-paired via list_distinct)."""
+    from ..functions.textstats import repetition_stats
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(
+            lambda t: repetition_stats(t, n=n),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        .select_columns(["doc_id", "n_ngrams", "n_distinct_ngrams", "dup_ngram_ratio"])
+    )
+
+
+def contaminated_docs(sf_dir: str, n: int = 5) -> "rd.Dataset":
+    """Benchmark contamination by n-gram overlap: non-benchmark docs
+    sharing ≥1 word 5-gram with the pretend eval set (doc_id % 97 == 0).
+    Benchmark n-grams broadcast; the corpus streams (never shuffles)."""
+    import pyarrow.compute as pc
+
+    from ..functions.dedup import ngram_contamination, text_ngrams
+
+    def is_bench(t: pa.Table) -> pa.Table:
+        m = pc.subtract(
+            t["doc_id"], pc.multiply(pc.divide(t["doc_id"], 97), 97)
+        )
+        return t.filter(pc.equal(m, 0))
+
+    def not_bench(t: pa.Table) -> pa.Table:
+        m = pc.subtract(
+            t["doc_id"], pc.multiply(pc.divide(t["doc_id"], 97), 97)
+        )
+        return t.filter(pc.not_equal(m, 0))
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    bench_texts = [
+        r["text"] for r in docs.map_batches(is_bench, batch_format="pyarrow").take_all()
+    ]
+    bench = text_ngrams(bench_texts, n=n)
+    probe = docs.map_batches(not_bench, batch_format="pyarrow")
+    return ngram_contamination(probe, bench, n=n)
+
+
 # Sketch queries have no SQL oracle (hash functions DuckDB cannot reproduce
 # / recall<1 by design). To keep regressions catchable at the driver's gate
 # scale anyway, each asserts an internal invariant against an exact

@@ -77,6 +77,40 @@ def test_vectorized_matches_class_wrappers():
     assert l["lang_pred"].tolist() == ["en", "unknown", "unknown", "unknown", "de"]
 
 
+def test_repetition_stats():
+    from node_shovel_ray.functions.textstats import repetition_stats
+
+    t = pa.table({"text": pa.array([
+        "a b c a b c a b c",   # "a b c"x3: 7 trigrams, 3 distinct
+        "w x y z",             # all distinct
+        "q r",                 # < n tokens
+        "",
+    ])})
+    out = repetition_stats(t, n=3)
+    assert out["n_ngrams"].to_pylist() == [7, 2, 0, 0]
+    assert out["n_distinct_ngrams"].to_pylist() == [3, 2, 0, 0]
+    r = out["dup_ngram_ratio"].to_pylist()
+    assert r[0] == round(1 - 3 / 7, 4) and r[1] == 0.0 and r[2] == 0.0
+
+
+def test_ngram_contamination(ray_session):
+    import ray.data as rd
+
+    from node_shovel_ray.functions.dedup import ngram_contamination, text_ngrams
+
+    bench = text_ngrams(["the quick brown fox jumps over the lazy dog"], n=5)
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "totally unrelated content here about other things entirely now",
+            "he said the quick brown fox jumps far today",  # shares a 5-gram
+            "short",
+        ]),
+    }))
+    got = sorted(ngram_contamination(docs, bench, n=5).to_pandas()["doc_id"])
+    assert got == [2]
+
+
 def test_fingerprint_stability():
     base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
     t = pa.table({"text": pa.array([base, base, base + " tail-change"])})
