@@ -86,6 +86,35 @@ def lookup_enrich(
     )
 
 
+def lookup_enrich_auto(
+    ds: "ray.data.Dataset",
+    lookup: "pa.Table | ray.data.Dataset",
+    key: str = "conv_id",
+    broadcast_max_bytes: int = 256 << 20,
+    force_join: bool = False,
+    **kw,
+) -> "ray.data.Dataset":
+    """Plan-switching enrich: broadcast join while the lookup fits the
+    budget, generic shuffle hash join (stages/join.hash_join, left) when it
+    does not (the 10⁹-conversation regime where a driver-held broadcast
+    table stops being 'small'). Both plans produce identical rows (pinned
+    by test)."""
+    from .join import hash_join
+
+    if isinstance(lookup, pa.Table):
+        if not force_join and lookup.get_total_buffer_size() <= broadcast_max_bytes:
+            return lookup_enrich(ds, lookup, key=key, **kw)
+        lookup_ds = ray.data.from_arrow(lookup)
+    else:
+        lookup_ds = lookup
+        if not force_join:
+            raise ValueError(
+                "pass a pa.Table for auto-switching, or force_join=True for a "
+                "Dataset lookup (its size cannot be known without executing)"
+            )
+    return hash_join(ds, lookup_ds, left_on=key, right_on=key, how="left")
+
+
 def _seq_group(g: pd.DataFrame, order_col: str, out_col: str) -> pd.DataFrame:
     g = g.sort_values(order_col, kind="mergesort")
     g[out_col] = np.arange(len(g), dtype=np.int64)

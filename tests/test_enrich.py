@@ -67,6 +67,36 @@ def test_seq_number_local_on_sharded_fixture(tiny_fixture):
     assert (local["seq_in_conv"].to_numpy() == shuffled["seq_in_conv"].to_numpy()).all()
 
 
+def test_lookup_enrich_auto_join_equals_broadcast(tiny_tables):
+    """The hash-join fallback (huge-lookup regime) must produce the same
+    enriched rows as the broadcast plan."""
+    import pandas as pd
+
+    from node_shovel_ray.stages.enrich import lookup_enrich, lookup_enrich_auto
+
+    t, meta = tiny_tables
+    ds = rd.from_arrow(t.select(["conv_id", "turn_idx"]))
+
+    def canon(d):
+        return (
+            d.to_pandas()
+            .sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True)
+            .sort_index(axis=1)
+        )
+
+    bc = canon(lookup_enrich(rd.from_arrow(t.select(["conv_id", "turn_idx"])), meta))
+    kj = canon(lookup_enrich_auto(ds, meta, force_join=True))
+    pd.testing.assert_frame_equal(kj[bc.columns], bc)
+    # small lookup auto-selects the broadcast plan (same rows either way)
+    auto = canon(
+        lookup_enrich_auto(
+            rd.from_arrow(t.select(["conv_id", "turn_idx"])), meta
+        )
+    )
+    pd.testing.assert_frame_equal(auto[bc.columns], bc)
+
+
 def test_seq_number_salted_equals_plain(tiny_tables):
     t, _ = tiny_tables
     ds = rd.from_arrow(t.select(["conv_id", "turn_idx"]))
