@@ -176,6 +176,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # repetition quality signal + n-gram-overlap contamination (r3)
         "repetition_docs": corpus.repetition_docs,
         "contaminated_docs": corpus.contaminated_docs,
+        # deterministic train/val/test assignment (r3)
+        "split_docs": corpus.split_docs,
     }
 
 
@@ -367,6 +369,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "approx_median_value_hist": Q.Q_APPROX_MEDIAN_HIST,
         "curated_docs": Q.Q_CURATED_DOCS,
+        "split_docs": Q.Q_SPLIT_DOCS,
         "repetition_docs": r"""
             WITH toks AS (
               SELECT doc_id,

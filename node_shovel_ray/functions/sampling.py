@@ -64,6 +64,48 @@ def sample_fraction(
     return ds.map_batches(keep, batch_format="pandas")
 
 
+def split_cutoffs(fractions: dict[str, float]) -> list[tuple[str, int]]:
+    """{'train': .9, 'val': .05, 'test': .05} → [(name, upper_cutoff)] with
+    integer hash cutoffs computed ONCE in Python (inlined into the SQL
+    oracle as literals so float→int rounding cannot diverge)."""
+    total = sum(fractions.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    out, acc = [], 0.0
+    items = list(fractions.items())
+    for i, (name, f) in enumerate(items):
+        acc += f
+        cut = _FULL if i == len(items) - 1 else int(acc * _FULL)
+        out.append((name, cut))
+    return out
+
+
+def assign_split(
+    ds: "ray.data.Dataset",
+    fractions: dict[str, float],
+    id_col: str,
+    out: str = "split",
+    hash_fn: str = "md5",
+) -> "ray.data.Dataset":
+    """Deterministic train/val/test assignment: each row's split is a pure
+    function of its id (hash landing in the fraction's cutoff band) —
+    stable across re-runs and immune to row order/layout, and with md5
+    reproducible by the SQL oracle. A streaming map; no shuffle."""
+    cuts = split_cutoffs(fractions)
+    names = np.array([name for name, _ in cuts], dtype=object)
+    # every cutoff except the (implicit 2⁶⁴) last fits in uint64
+    inner = np.array([c for _, c in cuts[:-1]], dtype=np.uint64)
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        h = _hash_ids(df[id_col].to_numpy(), hash_fn)
+        band = np.searchsorted(inner, h, side="right")  # first cut > hash
+        df = df.copy()
+        df[out] = names[band]
+        return df
+
+    return ds.map_batches(tag, batch_format="pandas")
+
+
 def sample_per_group(
     ds: "ray.data.Dataset",
     group_col: str,

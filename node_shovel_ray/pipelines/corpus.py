@@ -325,6 +325,20 @@ def contaminated_docs(sf_dir: str, n: int = 5) -> "rd.Dataset":
     return ngram_contamination(probe, bench, n=n)
 
 
+SPLIT_FRACTIONS = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
+def split_docs(sf_dir: str) -> "rd.Dataset":
+    """Deterministic train/val/test assignment (90/5/5) — a pure function
+    of doc_id, layout/order-independent, md5-reproducible by the SQL
+    oracle. Streaming map; no shuffle."""
+    from ..functions.sampling import assign_split
+
+    return assign_split(
+        _docs(sf_dir, ["doc_id"]), SPLIT_FRACTIONS, id_col="doc_id"
+    ).select_columns(["doc_id", "split"])
+
+
 # Sketch queries have no SQL oracle (hash functions DuckDB cannot reproduce
 # / recall<1 by design). To keep regressions catchable at the driver's gate
 # scale anyway, each asserts an internal invariant against an exact

@@ -352,3 +352,26 @@ SELECT doc_id, lang FROM (
 
 
 Q_CURATED_DOCS = _curated_docs_sql()
+
+
+def _split_docs_sql() -> str:
+    """Twin of corpus.split_docs: the SAME integer cutoffs (computed once
+    in functions/sampling.split_cutoffs, inlined as literals)."""
+    from ..functions.sampling import split_cutoffs
+    from .corpus import SPLIT_FRACTIONS
+
+    cuts = split_cutoffs(SPLIT_FRACTIONS)
+    cases = "\n".join(
+        f"    WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) < {cut} THEN '{name}'"
+        for name, cut in cuts[:-1]
+    )
+    return f"""
+SELECT doc_id,
+  CASE
+{cases}
+    ELSE '{cuts[-1][0]}' END AS split
+FROM documents
+"""
+
+
+Q_SPLIT_DOCS = _split_docs_sql()

@@ -49,6 +49,26 @@ def test_sample_fraction_deterministic_and_plausible(ray_session):
     assert small <= set(a)
 
 
+def test_assign_split_deterministic_and_proportional(ray_session):
+    import pytest
+
+    from node_shovel_ray.functions.sampling import assign_split, split_cutoffs
+
+    t = _docs(5000)
+    fr = {"train": 0.9, "val": 0.05, "test": 0.05}
+    a = assign_split(rd.from_arrow(t), fr, id_col="doc_id").to_pandas()
+    b = assign_split(rd.from_arrow(t).repartition(13), fr, id_col="doc_id").to_pandas()
+    # layout/order independent: same assignment per id
+    ma = dict(zip(a["doc_id"], a["split"]))
+    mb = dict(zip(b["doc_id"], b["split"]))
+    assert ma == mb
+    frac = a["split"].value_counts(normalize=True)
+    assert abs(frac["train"] - 0.9) < 0.03
+    assert abs(frac["val"] - 0.05) < 0.02 and abs(frac["test"] - 0.05) < 0.02
+    with pytest.raises(ValueError, match="sum to 1"):
+        split_cutoffs({"a": 0.5, "b": 0.3})
+
+
 def test_sample_per_group_layout_independent(ray_session):
     t = _docs(300)
     one_block = sample_per_group(
