@@ -178,6 +178,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contaminated_docs": corpus.contaminated_docs,
         # deterministic train/val/test assignment (r3)
         "split_docs": corpus.split_docs,
+        # corpus-trained unigram-LM quality scoring (KenLM-filter shape, r3)
+        "unigram_logprob_docs": corpus.unigram_logprob_docs,
     }
 
 
@@ -370,6 +372,22 @@ def oracle_sql() -> dict[str, str]:
         "approx_median_value_hist": Q.Q_APPROX_MEDIAN_HIST,
         "curated_docs": Q.Q_CURATED_DOCS,
         "split_docs": Q.Q_SPLIT_DOCS,
+        "unigram_logprob_docs": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                unnest(list_filter(string_split_regex(text, '\s+'),
+                                   x -> x <> '')) AS t
+              FROM documents
+            ), cnt AS (
+              SELECT t, count(*) AS n FROM tok GROUP BY t
+            ), tot AS (
+              SELECT CAST(sum(n) AS DOUBLE) AS total FROM cnt
+            )
+            SELECT tok.doc_id,
+                   round(avg(-ln(cnt.n / tot.total)), 4) AS avg_neg_logprob
+            FROM tok JOIN cnt USING (t) CROSS JOIN tot
+            GROUP BY tok.doc_id
+        """,
         "repetition_docs": r"""
             WITH toks AS (
               SELECT doc_id,

@@ -339,6 +339,83 @@ def split_docs(sf_dir: str) -> "rd.Dataset":
     ).select_columns(["doc_id", "split"])
 
 
+def unigram_logprob_docs(sf_dir: str) -> "rd.Dataset":
+    """Language-model quality scoring, KenLM-filter shaped: train a unigram
+    LM on the corpus itself (one token-count aggregate — the vocab pattern,
+    pre-combined per batch), broadcast the model, score every doc by the
+    mean negative log-probability of its tokens. Zero-token docs are
+    omitted (matching the SQL GROUP BY twin).
+
+    Scale note: the broadcast is the VOCABULARY (sublinear in corpus size,
+    Heaps' law — ~10M types ≈ 200 MB at web scale), never the corpus; the
+    scoring pass streams. Fully oracle-paired (ln/avg reproduced in SQL,
+    rounded to 4 dp on both sides)."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    def batch_counts(t: pa.Table) -> pa.Table:
+        # no trim: empty edge tokens are filtered below, and Arrow's
+        # unicode-aware trim would diverge from the oracle's RE2-only
+        # tokenization on exotic whitespace (NBSP etc.)
+        toks = pc.split_pattern_regex(pc.fill_null(t["text"], ""), pattern=r"\s+")
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = flat.value_counts()
+        return pa.table(
+            {"token": vc.field("values"), "n": pc.cast(vc.field("counts"), pa.int64())}
+        )
+
+    counts = (
+        _docs(sf_dir, ["text"])
+        .map_batches(batch_counts, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    total = float(counts["n"].sum())
+    vocab = pa.array(counts["token"], pa.string())
+    logp = np.log(counts["n"].to_numpy(np.float64) / total)
+    import ray
+
+    ref = ray.put((vocab, logp))
+
+    class Score:
+        def __init__(self):
+            self.vocab, self.logp = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            toks = pc.split_pattern_regex(
+                pc.fill_null(t["text"], ""), pattern=r"\s+"
+            )
+            if isinstance(toks, pa.ChunkedArray):
+                toks = toks.combine_chunks()
+            offs = np.asarray(toks.offsets)
+            flat = toks.flatten()
+            nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+            idx = pc.index_in(flat, value_set=self.vocab).to_numpy(
+                zero_copy_only=False
+            )
+            lp = np.where(nonempty, -self.logp[np.where(nonempty, idx, 0)], 0.0)
+            cs = np.concatenate([[0], np.cumsum(lp)])
+            seg_sum = cs[offs[1:]] - cs[offs[:-1]]
+            csn = np.concatenate([[0], np.cumsum(nonempty.astype(np.int64))])
+            seg_n = csn[offs[1:]] - csn[offs[:-1]]
+            keep = seg_n > 0
+            avg = seg_sum[keep] / seg_n[keep]
+            avg = np.floor(avg * 10_000 + 0.5) / 10_000  # round 4, values > 0
+            return pa.table(
+                {
+                    "doc_id": t["doc_id"].filter(pa.array(keep)),
+                    "avg_neg_logprob": pa.array(avg, pa.float64()),
+                }
+            )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        Score, batch_format="pyarrow", concurrency=default_pool()
+    )
+
+
 # Sketch queries have no SQL oracle (hash functions DuckDB cannot reproduce
 # / recall<1 by design). To keep regressions catchable at the driver's gate
 # scale anyway, each asserts an internal invariant against an exact
