@@ -180,6 +180,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_docs": corpus.split_docs,
         # corpus-trained unigram-LM quality scoring (KenLM-filter shape, r3)
         "unigram_logprob_docs": corpus.unigram_logprob_docs,
+        # per-source mixture reweighting (data mixing, r3)
+        "mixture_docs": corpus.mixture_docs,
     }
 
 
@@ -372,6 +374,7 @@ def oracle_sql() -> dict[str, str]:
         "approx_median_value_hist": Q.Q_APPROX_MEDIAN_HIST,
         "curated_docs": Q.Q_CURATED_DOCS,
         "split_docs": Q.Q_SPLIT_DOCS,
+        "mixture_docs": Q.Q_MIXTURE_DOCS,
         "unigram_logprob_docs": r"""
             WITH tok AS (
               SELECT doc_id,

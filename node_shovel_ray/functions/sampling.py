@@ -106,6 +106,35 @@ def assign_split(
     return ds.map_batches(tag, batch_format="pandas")
 
 
+def mixture_sample(
+    ds: "ray.data.Dataset",
+    rates: dict[str, float],
+    group_col: str,
+    id_col: str,
+    default_rate: float = 0.0,
+    hash_fn: str = "md5",
+) -> "ray.data.Dataset":
+    """Corpus mixture weighting: keep each row with its group's sampling
+    rate (``hash(id) < rate·2⁶⁴``) — the data-mixing step that reweights
+    sources (web/books/code/…) before training. Deterministic per id, a
+    pure streaming filter, and monotone: raising a rate only ADDS docs.
+    Groups absent from ``rates`` use ``default_rate``."""
+    # cutoffs derive from float64 products (fraction_threshold), so every
+    # value — including the keep-all 2⁶⁴, a power of two — round-trips
+    # through float64 EXACTLY; only the hash side must stay uint64
+    cut = {g: float(fraction_threshold(r)) for g, r in rates.items()}
+    dflt = float(fraction_threshold(default_rate))
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        h = _hash_ids(df[id_col].to_numpy(), hash_fn)
+        thr = df[group_col].map(cut).fillna(dflt).to_numpy(np.float64)
+        keep_all = thr >= float(_FULL)
+        thr_u = np.where(keep_all, 0.0, thr).astype(np.uint64)  # exact ints
+        return df[keep_all | (h < thr_u)]
+
+    return ds.map_batches(keep, batch_format="pandas")
+
+
 def sample_per_group(
     ds: "ray.data.Dataset",
     group_col: str,

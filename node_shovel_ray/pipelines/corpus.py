@@ -327,6 +327,26 @@ def contaminated_docs(sf_dir: str, n: int = 5) -> "rd.Dataset":
 
 SPLIT_FRACTIONS = {"train": 0.9, "val": 0.05, "test": 0.05}
 
+# corpus mixture: per-source sampling rates (data-mixing weights)
+MIXTURE_RATES = {"src0": 1.0, "src1": 0.75, "src2": 0.5, "src3": 0.25}
+MIXTURE_DEFAULT = 0.1
+
+
+def mixture_docs(sf_dir: str) -> "rd.Dataset":
+    """Data-mixing: reweight the corpus by per-source sampling rates
+    (keep-all src0 down to 10% long-tail) — deterministic per doc_id,
+    monotone in the rates, a pure streaming filter. Oracle-paired via the
+    shared integer cutoffs."""
+    from ..functions.sampling import mixture_sample
+
+    return mixture_sample(
+        _docs(sf_dir, ["doc_id", "source"]),
+        rates=MIXTURE_RATES,
+        group_col="source",
+        id_col="doc_id",
+        default_rate=MIXTURE_DEFAULT,
+    ).select_columns(["doc_id", "source"])
+
 
 def split_docs(sf_dir: str) -> "rd.Dataset":
     """Deterministic train/val/test assignment (90/5/5) — a pure function

@@ -375,3 +375,28 @@ FROM documents
 
 
 Q_SPLIT_DOCS = _split_docs_sql()
+
+
+def _mixture_docs_sql() -> str:
+    """Twin of corpus.mixture_docs — the same integer cutoffs per source."""
+    from ..functions.sampling import fraction_threshold
+    from .corpus import MIXTURE_DEFAULT, MIXTURE_RATES
+
+    def cond(cut: int) -> str:
+        if cut >= 1 << 64:
+            return "TRUE"
+        return f"md5_number_lower(CAST(doc_id AS VARCHAR)) < {cut}"
+
+    cases = "\n".join(
+        f"    WHEN source = '{g}' THEN {cond(fraction_threshold(r))}"
+        for g, r in MIXTURE_RATES.items()
+    )
+    return f"""
+SELECT doc_id, source FROM documents
+WHERE CASE
+{cases}
+    ELSE {cond(fraction_threshold(MIXTURE_DEFAULT))} END
+"""
+
+
+Q_MIXTURE_DOCS = _mixture_docs_sql()

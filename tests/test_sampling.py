@@ -69,6 +69,32 @@ def test_assign_split_deterministic_and_proportional(ray_session):
         split_cutoffs({"a": 0.5, "b": 0.3})
 
 
+def test_mixture_sample_rates_and_monotonicity(ray_session):
+    from node_shovel_ray.functions.sampling import mixture_sample
+
+    n = 3000
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "src": pa.array([f"s{i % 3}" for i in range(n)]),
+        }
+    )
+    rates = {"s0": 1.0, "s1": 0.5}
+    got = mixture_sample(
+        rd.from_arrow(t), rates, group_col="src", id_col="doc_id", default_rate=0.0
+    ).to_pandas()
+    per = got.groupby("src").size()
+    assert per["s0"] == n // 3                 # keep-all
+    assert abs(per["s1"] / (n // 3) - 0.5) < 0.07
+    assert "s2" not in per.index               # default 0 drops
+    # monotone: halving a rate yields a subset
+    lo = mixture_sample(
+        rd.from_arrow(t), {"s1": 0.25}, group_col="src", id_col="doc_id"
+    ).to_pandas()
+    hi_ids = set(got[got["src"] == "s1"]["doc_id"])
+    assert set(lo["doc_id"]) <= hi_ids
+
+
 def test_sample_per_group_layout_independent(ray_session):
     t = _docs(300)
     one_block = sample_per_group(
