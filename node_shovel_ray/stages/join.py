@@ -29,15 +29,18 @@ def hash_join(
     how: str = "inner",
     num_blocks: int | None = None,
 ) -> "ray.data.Dataset":
-    """``left ⋈ right`` on ``left_on == right_on`` (``inner`` or ``left``).
+    """``left ⋈ right`` on ``left_on == right_on``
+    (``inner`` / ``left`` / ``right`` / ``outer``).
 
     Output columns: all of ``left`` plus ``right``'s non-key columns (the
-    key keeps ``left_on``'s name). With ``how="left"``, unmatched rows
-    carry nulls — pandas widens int64 right columns to float64 there
-    (CLAUDE.md); cast downstream if the oracle needs int64.
+    key keeps ``left_on``'s name). Unmatched rows carry nulls — pandas
+    widens int64 columns to float64 there (CLAUDE.md); cast downstream if
+    the oracle needs int64.
     """
-    if how not in ("inner", "left"):
-        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    if how not in ("inner", "left", "right", "outer"):
+        raise ValueError(
+            f"how must be inner/left/right/outer, got {how!r}"
+        )
     right_on = right_on or left_on
 
     lschema = left.schema()

@@ -79,12 +79,32 @@ def test_join_layout_independent(ray_session):
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_outer_and_right_join(ray_session):
+    left, right = _sides()
+    got = hash_join(
+        rd.from_arrow(left), rd.from_arrow(right),
+        left_on="user_id", right_on="c_custkey", how="outer",
+    ).to_pandas()
+    # all 20 left rows + the probe-less right key 9
+    assert len(got) == 21
+    orphan = got[got["user_id"] == 9]
+    assert len(orphan) == 1 and orphan["seg"].iloc[0] == "z"
+    assert orphan["event_id"].isna().all()
+    r = hash_join(
+        rd.from_arrow(left), rd.from_arrow(right),
+        left_on="user_id", right_on="c_custkey", how="right",
+    ).to_pandas()
+    # right join: every matching (event, cust) pair + the orphan key 9
+    assert set(r["user_id"]) == {0, 1, 2, 3, 9}
+    assert len(r) == len(got[got["user_id"] <= 3]) + 1
+
+
 def test_join_rejects_column_clash_and_bad_how(ray_session):
     left, right = _sides()
     with pytest.raises(ValueError, match="how"):
         hash_join(
             rd.from_arrow(left), rd.from_arrow(right),
-            left_on="user_id", right_on="c_custkey", how="outer",
+            left_on="user_id", right_on="c_custkey", how="cross",
         )
     clash = rd.from_arrow(
         pa.table({"c_custkey": pa.array([1], pa.int64()),
