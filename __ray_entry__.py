@@ -182,6 +182,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_logprob_docs": corpus.unigram_logprob_docs,
         # per-source mixture reweighting (data mixing, r3)
         "mixture_docs": corpus.mixture_docs,
+        # PII-density counts (scrub-or-drop gate, r3)
+        "pii_stats_docs": corpus.pii_stats_docs,
     }
 
 
@@ -375,6 +377,18 @@ def oracle_sql() -> dict[str, str]:
         "curated_docs": Q.Q_CURATED_DOCS,
         "split_docs": Q.Q_SPLIT_DOCS,
         "mixture_docs": Q.Q_MIXTURE_DOCS,
+        "pii_stats_docs": r"""
+            SELECT doc_id,
+              CAST(len(regexp_extract_all(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+                AS n_emails,
+              CAST(len(regexp_extract_all(text,
+                '\+?[0-9][0-9()\-. ]{7,}[0-9]')) AS BIGINT) AS n_phones,
+              CAST(len(regexp_extract_all(text,
+                '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT)
+                AS n_ips
+            FROM documents
+        """,
         "unigram_logprob_docs": r"""
             WITH tok AS (
               SELECT doc_id,

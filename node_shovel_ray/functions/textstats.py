@@ -200,6 +200,31 @@ def normalize_text(
     return batch.append_column(out, x)
 
 
+# PII-ish patterns, RE2-safe and ASCII-explicit so Arrow and DuckDB agree
+_PII_PATTERNS = {
+    "n_emails": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "n_phones": r"\+?[0-9][0-9()\-. ]{7,}[0-9]",
+    "n_ips": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+}
+
+
+def pii_stats(batch: pa.Table, column: str = "text") -> pa.Table:
+    """PII-density signals per document (emails / phone-shaped numbers /
+    IPv4-shaped dotted quads) — the scrub-or-drop curation gate. Pure RE2
+    count kernels; each pattern has an identical DuckDB twin."""
+    s = pc.fill_null(
+        batch[column].combine_chunks()
+        if isinstance(batch[column], pa.ChunkedArray)
+        else batch[column],
+        "",
+    )
+    for out, pat in _PII_PATTERNS.items():
+        batch = batch.append_column(
+            out, pc.cast(pc.count_substring_regex(s, pattern=pat), pa.int64())
+        )
+    return batch
+
+
 def repetition_stats(
     batch: pa.Table, column: str = "text", n: int = 3,
 ) -> pa.Table:

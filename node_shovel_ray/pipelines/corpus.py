@@ -436,6 +436,18 @@ def unigram_logprob_docs(sf_dir: str) -> "rd.Dataset":
     )
 
 
+def pii_stats_docs(sf_dir: str) -> "rd.Dataset":
+    """PII-density counts per doc (emails/phones/IPs — the scrub-or-drop
+    gate); RE2 kernels with identical DuckDB twins."""
+    from ..functions.textstats import pii_stats
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(pii_stats, batch_format="pyarrow", zero_copy_batch=True)
+        .select_columns(["doc_id", "n_emails", "n_phones", "n_ips"])
+    )
+
+
 # Sketch queries have no SQL oracle (hash functions DuckDB cannot reproduce
 # / recall<1 by design). To keep regressions catchable at the driver's gate
 # scale anyway, each asserts an internal invariant against an exact

@@ -111,6 +111,22 @@ def test_ngram_contamination(ray_session):
     assert got == [2]
 
 
+def test_pii_stats():
+    from node_shovel_ray.functions.textstats import pii_stats
+
+    t = pa.table({"text": pa.array([
+        "mail me at a.b@example.com or c@d.org thanks",
+        "call +1 (555) 123-4567 now",
+        "server at 10.0.0.1 and 192.168.1.254",
+        "clean text with no pii at all",
+        None,
+    ])})
+    out = pii_stats(t)
+    assert out["n_emails"].to_pylist() == [2, 0, 0, 0, 0]
+    assert out["n_phones"].to_pylist() == [0, 1, 0, 0, 0]
+    assert out["n_ips"].to_pylist() == [0, 0, 2, 0, 0]
+
+
 def test_fingerprint_stability():
     base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
     t = pa.table({"text": pa.array([base, base, base + " tail-change"])})
