@@ -383,7 +383,7 @@ def oracle_sql() -> dict[str, str]:
                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
                 AS n_emails,
               CAST(len(regexp_extract_all(text,
-                '\+?[0-9][0-9()\-. ]{7,}[0-9]')) AS BIGINT) AS n_phones,
+                '\+?[0-9][0-9()\- ]{7,}[0-9]')) AS BIGINT) AS n_phones,
               CAST(len(regexp_extract_all(text,
                 '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT)
                 AS n_ips

@@ -203,7 +203,7 @@ def normalize_text(
 # PII-ish patterns, RE2-safe and ASCII-explicit so Arrow and DuckDB agree
 _PII_PATTERNS = {
     "n_emails": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
-    "n_phones": r"\+?[0-9][0-9()\-. ]{7,}[0-9]",
+    "n_phones": r"\+?[0-9][0-9()\- ]{7,}[0-9]",  # no '.': keeps IPs out
     "n_ips": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
 }
 
