@@ -157,6 +157,7 @@ def _side_queries() -> dict[str, float]:
     timed("curation_pipeline", lambda: corpus.curated_docs(SF_DIR).count())
     timed("pack_docs", lambda: corpus.pack_docs_seq(SF_DIR).count())
     timed("embed_neardup_tiled", lambda: corpus.embed_neardup(SF_DIR).num_rows)
+    timed("unigram_lm", lambda: corpus.unigram_logprob_docs(SF_DIR).count())
     return out
 
 
