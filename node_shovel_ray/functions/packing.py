@@ -45,11 +45,16 @@ def pack_docs(
 
     if budget < 1:
         raise ValueError(f"budget must be >= 1, got {budget}")
-    counts = ds.select_columns([id_col, token_col])
+    # materialize the narrow (id, n_tokens) projection ONCE: the span
+    # aggregate, the bucket-totals pass and the final exchange all read it,
+    # and branching it lazy would re-run the upstream token-count scan per
+    # branch (CLAUDE.md hazard). Two int64 cols — tiny even at 10⁹ docs.
+    counts = ds.select_columns([id_col, token_col]).materialize()
 
-    # range width from the id span — metadata-light aggregate on 2 int cols
-    lo = counts.min(id_col)
-    hi = counts.max(id_col)
+    from ray.data.aggregate import Max, Min
+
+    span = counts.aggregate(Min(id_col), Max(id_col))
+    lo, hi = span[f"min({id_col})"], span[f"max({id_col})"]
     nb = n_buckets or default_num_blocks()
     width = max(1, (int(hi) - int(lo)) // nb + 1)
 

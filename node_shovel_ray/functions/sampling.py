@@ -119,17 +119,18 @@ def mixture_sample(
     sources (web/books/code/…) before training. Deterministic per id, a
     pure streaming filter, and monotone: raising a rate only ADDS docs.
     Groups absent from ``rates`` use ``default_rate``."""
-    # cutoffs derive from float64 products (fraction_threshold), so every
-    # value — including the keep-all 2⁶⁴, a power of two — round-trips
-    # through float64 EXACTLY; only the hash side must stay uint64
-    cut = {g: float(fraction_threshold(r)) for g, r in rates.items()}
-    dflt = float(fraction_threshold(default_rate))
+    # cutoffs stay exact Python ints end-to-end (a float64 round-trip
+    # would push cutoffs within 2⁻⁵⁴ of 1 up to 2⁶⁴ and misread them as
+    # keep-all, diverging from the SQL twin's integer literal); only the
+    # exact 2⁶⁴ sentinel from p == 1.0 means keep-all
+    cut = {g: fraction_threshold(r) for g, r in rates.items()}
+    dflt = fraction_threshold(default_rate)
 
     def keep(df: pd.DataFrame) -> pd.DataFrame:
         h = _hash_ids(df[id_col].to_numpy(), hash_fn)
-        thr = df[group_col].map(cut).fillna(dflt).to_numpy(np.float64)
-        keep_all = thr >= float(_FULL)
-        thr_u = np.where(keep_all, 0.0, thr).astype(np.uint64)  # exact ints
+        thr = df[group_col].map(cut).fillna(dflt)  # object dtype: exact ints
+        keep_all = (thr == _FULL).to_numpy()
+        thr_u = np.where(keep_all, 0, thr.to_numpy()).astype(np.uint64)
         return df[keep_all | (h < thr_u)]
 
     return ds.map_batches(keep, batch_format="pandas")

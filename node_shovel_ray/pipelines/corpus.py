@@ -413,10 +413,16 @@ def unigram_logprob_docs(sf_dir: str) -> "rd.Dataset":
             offs = np.asarray(toks.offsets)
             flat = toks.flatten()
             nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
-            idx = pc.index_in(flat, value_set=self.vocab).to_numpy(
-                zero_copy_only=False
+            # empty boundary tokens (leading/trailing whitespace) are absent
+            # from the vocab: index_in yields null there, and a null-bearing
+            # to_numpy() becomes float64/NaN which cannot index logp —
+            # fill_null(0) first; the nonempty mask zeroes those positions
+            idx = (
+                pc.fill_null(pc.index_in(flat, value_set=self.vocab), 0)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
             )
-            lp = np.where(nonempty, -self.logp[np.where(nonempty, idx, 0)], 0.0)
+            lp = np.where(nonempty, -self.logp[idx], 0.0)
             cs = np.concatenate([[0], np.cumsum(lp)])
             seg_sum = cs[offs[1:]] - cs[offs[:-1]]
             csn = np.concatenate([[0], np.cumsum(nonempty.astype(np.int64))])

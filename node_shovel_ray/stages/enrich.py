@@ -212,6 +212,11 @@ def seq_number_salted(
         )
 
     counts = ranked.map_batches(block_counts, batch_format="pandas").to_pandas()
+    # the keyed exchange co-locates each (key, _salt) group in one *logical*
+    # block, but Ray splits output blocks at target_max_block_size — a wide
+    # hot-key chunk can straddle two physical blocks and emit two partial
+    # rows; re-aggregate so offsets see exactly one row per (key, _salt)
+    counts = counts.groupby([key, "_salt"], as_index=False)["count()"].sum()
     counts = counts.sort_values([key, "_salt"], kind="mergesort")
     counts["_offset"] = counts.groupby(key)["count()"].cumsum() - counts["count()"]
     offsets = pa.table(

@@ -33,9 +33,9 @@ def hash_join(
     (``inner`` / ``left`` / ``right`` / ``outer``).
 
     Output columns: all of ``left`` plus ``right``'s non-key columns (the
-    key keeps ``left_on``'s name). Unmatched rows carry nulls — pandas
-    widens int64 columns to float64 there (CLAUDE.md); cast downstream if
-    the oracle needs int64.
+    key keeps ``left_on``'s name). Unmatched rows carry nulls; every block
+    emits one fixed Arrow schema with the inputs' declared column types
+    (int/bool stay int/bool with nulls — no data-dependent float widening).
     """
     if how not in ("inner", "left", "right", "outer"):
         raise ValueError(
@@ -77,23 +77,23 @@ def hash_join(
 
     lkeep = lcols
     rkeep = [left_on] + rcols
-    # the union pads each side's missing columns with nulls, which widens
-    # pandas int/bool columns to float/object (CLAUDE.md); restore the
-    # declared dtype wherever the merged column carries no nulls
-    narrow = {
-        name: np.dtype(t.to_pandas_dtype())
-        for name, t in {**ltypes, **rtypes}.items()
-        if pa.types.is_integer(t) or pa.types.is_boolean(t)
-    }
+    # Every bucket must emit the SAME schema (per-bucket narrowing made the
+    # dtype depend on whether that bucket happened to contain unmatched
+    # rows — mixed-schema blocks/files downstream). Decide once, from the
+    # declared input schemas: emit Arrow with the original column types;
+    # Arrow ints/bools are nullable-native, so unmatched-row nulls need no
+    # pandas float64 widening and matched buckets can't "narrow back".
+    out_schema = pa.schema(
+        [(c, ltypes[c]) for c in lcols] + [(c, rtypes[c]) for c in rcols]
+    )
 
-    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
         lpart = df[df["_side"] == 0][lkeep]
         rpart = df[df["_side"] == 1][rkeep]
         m = lpart.merge(rpart, on=left_on, how=how)
-        for c, dt in narrow.items():
-            if c in m.columns and m[c].dtype != dt and not m[c].isna().any():
-                m[c] = m[c].astype(dt)
-        return m
+        # from_pandas maps NaN -> null, then casts float64-widened int/bool
+        # columns back to their declared Arrow type uniformly
+        return pa.Table.from_pandas(m, schema=out_schema, preserve_index=False)
 
     from .keyed import keyed_map_blocks
 

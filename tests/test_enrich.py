@@ -115,6 +115,37 @@ def test_seq_number_salted_equals_plain(tiny_tables):
     assert sizes.max() > 16
 
 
+def test_seq_number_salted_survives_block_splits():
+    """ADVICE r3: Ray splits map_groups output blocks at
+    target_max_block_size, so one (key, _salt) group can straddle two
+    physical blocks and emit duplicate partial count rows. Force tiny
+    blocks and verify the re-aggregation keeps offsets correct."""
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    old = ctx.target_max_block_size
+    try:
+        ctx.target_max_block_size = 4 * 1024  # ~4 KB → many splits
+        n = 3000
+        df = pd.DataFrame(
+            {
+                "conv_id": ["hot"] * n + ["cold"] * 10,
+                "turn_idx": list(range(n)) + list(range(10)),
+                # widen rows so a chunk exceeds the block cap
+                "pad": ["x" * 200] * (n + 10),
+            }
+        ).sample(frac=1.0, random_state=3).reset_index(drop=True)
+        out = (
+            seq_number_salted(rd.from_pandas(df), chunk=500)
+            .to_pandas()
+            .sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True)
+        )
+        assert (out["seq_in_conv"].to_numpy() == out["turn_idx"].to_numpy()).all()
+    finally:
+        ctx.target_max_block_size = old
+
+
 def test_validate_key_sharding_accepts_good_rejects_bad(tiny_fixture, tmp_path):
     import pyarrow as pa
     import pyarrow.parquet as pq

@@ -112,3 +112,39 @@ def test_join_rejects_column_clash_and_bad_how(ray_session):
     )
     with pytest.raises(ValueError, match="overlapping"):
         hash_join(rd.from_arrow(left), clash, left_on="user_id", right_on="c_custkey")
+
+
+def test_left_join_uniform_schema_across_buckets(ray_session):
+    """ADVICE r3: per-bucket dtype narrowing made output schema depend on
+    which bucket a row hashed into (matched-only buckets emitted int64,
+    mixed buckets float64). Every block must now carry ONE Arrow schema:
+    the declared input types, nullable."""
+    left = pa.table(
+        {
+            "k": pa.array(range(40), pa.int64()),
+            "lv": pa.array(range(40), pa.int64()),
+        }
+    )
+    # right misses half the keys → many buckets mix matched/unmatched rows
+    right = pa.table(
+        {
+            "k": pa.array(range(0, 40, 2), pa.int64()),
+            "rv": pa.array(range(20), pa.int64()),
+            "rb": pa.array([i % 2 == 0 for i in range(20)]),
+        }
+    )
+    out = hash_join(
+        rd.from_arrow(left), rd.from_arrow(right), left_on="k", how="left",
+        num_blocks=8,
+    )
+    schemas = {
+        str(b.schema) for b in out.iter_batches(batch_format="pyarrow", batch_size=None)
+    }
+    assert len(schemas) == 1
+    sch = out.schema()
+    types = dict(zip(sch.names, sch.types))
+    assert types["rv"] == pa.int64() and types["rb"] == pa.bool_()
+    df = out.to_pandas().sort_values("k").reset_index(drop=True)
+    assert df["rv"].isna().sum() == 20 and df["rb"].isna().sum() == 20
+    matched = df[df["k"] % 2 == 0]
+    assert (matched["rv"].to_numpy() == matched["k"].to_numpy() // 2).all()

@@ -134,3 +134,37 @@ def test_fingerprint_stability():
     assert out[0] == out[1]  # identical text → identical fingerprint
     # small tail edit usually keeps the min-window fingerprint
     assert isinstance(out[2], int)
+
+
+def test_unigram_logprob_edge_whitespace(tmp_path):
+    """ADVICE r3: leading/trailing whitespace emits empty boundary tokens;
+    index_in returns null for them (absent from vocab) and a null-bearing
+    to_numpy() is float64/NaN — must not crash and must score correctly."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from node_shovel_ray.pipelines.corpus import unigram_logprob_docs
+
+    texts = ["hello world\n", "", "  hello  ", None, "\tworld hello\n\n", "   "]
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()), "text": texts}),
+        tmp_path / "documents.parquet",
+    )
+    out = (
+        unigram_logprob_docs(str(tmp_path))
+        .to_pandas()
+        .set_index("doc_id")["avg_neg_logprob"]
+    )
+    # docs 1 ('' ), 3 (null), 5 (spaces only) have zero tokens → omitted
+    assert sorted(out.index) == [0, 2, 4]
+    # corpus token counts: hello×3, world×2 of 5 total
+    lp = {"hello": math.log(3 / 5), "world": math.log(2 / 5)}
+
+    def expect(toks):
+        v = -sum(lp[t] for t in toks) / len(toks)
+        return math.floor(v * 10_000 + 0.5) / 10_000
+
+    assert out[0] == expect(["hello", "world"])
+    assert out[2] == expect(["hello"])
+    assert out[4] == expect(["world", "hello"])
