@@ -38,7 +38,7 @@ def _parsed(sf_dir: str) -> "rd.Dataset":
 
 def _routed(sf_dir: str) -> "rd.Dataset":
     ev = _events(sf_dir)
-    meta = flagship.build_conv_meta_from_events(ev)
+    meta = flagship.build_conv_meta_ds(_events(sf_dir))
     return flagship.enrich_route(parse(transcriptify(ev)), meta)
 
 
@@ -87,7 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _parsed(sf_dir)
 
     def q_conv_meta(sf_dir: str):
-        return flagship.build_conv_meta_from_events(_events(sf_dir))
+        return flagship.build_conv_meta_ds(_events(sf_dir))
 
     def q_enrich(sf_dir: str):
         return _routed(sf_dir).select_columns(

@@ -31,7 +31,7 @@ from .. import schema as S
 from ..sources.jsonl import write_jsonl
 from ..stages.aggregate import hour_floor, sink_counts
 from ..stages.enrich import (
-    lookup_enrich,
+    lookup_enrich_auto,
     seq_number,
     seq_number_local,
     seq_number_salted,
@@ -41,22 +41,42 @@ from ..stages.route import assign_sink_tag, branch, broadcast_branch
 from ..stages.transcriptify import transcriptify
 
 
-def build_conv_meta_from_events(events: "ray.data.Dataset") -> pa.Table:
-    """Derive the conv-level lookup from distinct user ids (small side).
+def build_conv_meta_ds(events: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Derive the conv-level lookup from distinct user ids — DISTRIBUTED.
 
     Same formulas as sql_oracle.CONV_META_CTE — pure integer ops on user_id.
+    Plan: per-batch ``pc.unique`` pre-combine (the exchange carries at most
+    one row per (block, uid), never the events), then one keyed exchange
+    dedups globally and derives the meta columns vectorized per bucket. The
+    distinct set NEVER lands on the driver — at the 10⁹-conversation regime
+    a driver-side ``events.unique()`` set is a multi-GB OOM; here the
+    result stays a Dataset and stages/enrich.lookup_enrich_auto decides
+    broadcast vs shuffle join from its measured size.
     """
-    uids = np.asarray(sorted(events.unique("user_id")), dtype=np.int64)
-    channels = np.array(["api", "web", "cli"])
-    return pa.table(
-        {
-            "conv_id": pa.array([f"conv-{u:08d}" for u in uids], pa.string()),
-            "tenant": pa.array([f"tenant-{u % 10}" for u in uids], pa.string()),
-            "channel": pa.array(channels[uids % 3], pa.string()),
-            "priority": pa.array(uids % 4, pa.int32()),
-        },
-        schema=S.CONV_META,
+    from ..stages.keyed import keyed_map_blocks
+
+    def batch_unique(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": pc.unique(t["user_id"])})
+
+    pre = events.select_columns(["user_id"]).map_batches(
+        batch_unique, batch_format="pyarrow", zero_copy_batch=True
     )
+
+    channels = np.array(["api", "web", "cli"])
+
+    def derive(df) -> pa.Table:
+        u = np.unique(df["user_id"].to_numpy(np.int64))
+        return pa.table(
+            {
+                "conv_id": pa.array(np.char.mod("conv-%08d", u), pa.string()),
+                "tenant": pa.array(np.char.mod("tenant-%d", u % 10), pa.string()),
+                "channel": pa.array(channels[u % 3], pa.string()),
+                "priority": pa.array((u % 4).astype(np.int32), pa.int32()),
+            },
+            schema=S.CONV_META,
+        )
+
+    return keyed_map_blocks(pre, ["user_id"], derive)
 
 
 def _add_hour(batch: pa.Table) -> pa.Table:
@@ -65,17 +85,26 @@ def _add_hour(batch: pa.Table) -> pa.Table:
 
 def enrich_route(
     parsed: "ray.data.Dataset",
-    conv_meta: pa.Table,
+    conv_meta: "pa.Table | ray.data.Dataset",
     skew_aware: bool = False,
     assume_partitioned: bool = False,
+    broadcast_max_bytes: int = 256 << 20,
 ) -> "ray.data.Dataset":
     """parsed → enriched+routed dataset (schema.ENRICHED + audit flag).
+
+    ``conv_meta`` may be a driver-held Arrow table (small lookups) or a
+    Dataset (the distributed derivation); ``lookup_enrich_auto`` picks the
+    broadcast plan while the lookup fits ``broadcast_max_bytes`` and a
+    shuffle hash join beyond it — the headline pipeline is protected
+    either way.
 
     ``assume_partitioned=True`` ⇒ input blocks are conv-aligned (key-sharded
     files): sequence numbering runs block-local with no shuffle (the
     10^12-turn plan; see enrich.seq_number_local for the contract).
     """
-    ds = lookup_enrich(parsed, conv_meta, key="conv_id")
+    ds = lookup_enrich_auto(
+        parsed, conv_meta, key="conv_id", broadcast_max_bytes=broadcast_max_bytes
+    )
     if assume_partitioned:
         seq = seq_number_local
     elif skew_aware:
@@ -89,7 +118,7 @@ def enrich_route(
 
 def run(
     transcripts: "ray.data.Dataset",
-    conv_meta: pa.Table,
+    conv_meta: "pa.Table | ray.data.Dataset",
     out_dir: str | None = None,
     skew_aware: bool = False,
     assume_partitioned: bool = False,
@@ -140,7 +169,8 @@ def run(
 
 
 def from_events(events: "ray.data.Dataset", **kw) -> dict:
-    """events table → full DAG (transcriptify first)."""
+    """events table → full DAG (transcriptify first). The enrich lookup is
+    derived distributed (never a driver-side distinct set)."""
     t = transcriptify(events)
-    meta = build_conv_meta_from_events(events)
+    meta = build_conv_meta_ds(events)
     return run(t, meta, **kw)

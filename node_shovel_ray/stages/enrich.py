@@ -98,20 +98,34 @@ def lookup_enrich_auto(
     budget, generic shuffle hash join (stages/join.hash_join, left) when it
     does not (the 10⁹-conversation regime where a driver-held broadcast
     table stops being 'small'). Both plans produce identical rows (pinned
-    by test)."""
+    by test).
+
+    A Dataset lookup (the distributed-derivation path) is materialized —
+    it is the SMALL side by contract: one row per key, narrow columns —
+    and its measured ``size_bytes()`` picks the plan; under the budget the
+    blocks are fetched once to the driver for the broadcast, over it they
+    stay distributed and feed the shuffle join (the regime where fetching
+    them would be the OOM this switch exists to prevent).
+    """
     from .join import hash_join
 
     if isinstance(lookup, pa.Table):
         if not force_join and lookup.get_total_buffer_size() <= broadcast_max_bytes:
             return lookup_enrich(ds, lookup, key=key, **kw)
         lookup_ds = ray.data.from_arrow(lookup)
-    else:
+    elif force_join:
         lookup_ds = lookup
-        if not force_join:
-            raise ValueError(
-                "pass a pa.Table for auto-switching, or force_join=True for a "
-                "Dataset lookup (its size cannot be known without executing)"
-            )
+    else:
+        mat = lookup.materialize()
+        if mat.size_bytes() <= broadcast_max_bytes:
+            # map_groups emits schema-less empty blocks for empty buckets —
+            # drop them before concat
+            tbls = [t for t in ray.get(mat.to_arrow_refs()) if t.num_rows]
+            if not tbls:
+                raise ValueError("empty lookup Dataset")
+            tbl = pa.concat_tables(tbls).combine_chunks()
+            return lookup_enrich(ds, tbl, key=key, **kw)
+        lookup_ds = mat
     return hash_join(ds, lookup_ds, left_on=key, right_on=key, how="left")
 
 

@@ -157,3 +157,39 @@ def test_nack_analogue_transient_failure_retried(ray_session, tmp_path):
     out = ds.sum("id")
     assert out == sum(range(1000))
     assert marker.exists()  # the failure really happened, then was retried
+
+
+def test_flagship_broadcast_plan_equals_join_plan(ray_session):
+    """VERDICT r3 #1: the enrich lookup is derived distributed
+    (build_conv_meta_ds) and routed through lookup_enrich_auto; the
+    broadcast plan (lookup fits budget) and the shuffle hash-join plan
+    (budget=0 forces the big-lookup regime) must produce identical rows
+    on the flagship itself."""
+    from node_shovel_ray.stages.parse import parse
+    from node_shovel_ray.stages.transcriptify import transcriptify
+
+    ev = rd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    meta_ds = flagship.build_conv_meta_ds(ev)
+
+    cols = ["conv_id", "turn_idx", "tenant", "channel", "priority",
+            "seq_in_conv", "sink_tag", "audit"]
+
+    def run_plan(budget):
+        parsed = parse(transcriptify(
+            rd.read_parquet("/root/testdata/sf0.001/events.parquet")))
+        out = flagship.enrich_route(
+            parsed, flagship.build_conv_meta_ds(
+                rd.read_parquet("/root/testdata/sf0.001/events.parquet")),
+            broadcast_max_bytes=budget,
+        )
+        return (
+            out.select_columns(cols).to_pandas()
+            .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+        )
+
+    bc = run_plan(256 << 20)
+    kj = run_plan(0)
+    pd.testing.assert_frame_equal(kj[bc.columns], bc, check_dtype=False)
+    # sanity: the lookup really is one row per conversation
+    n_convs = meta_ds.count()
+    assert n_convs == bc["conv_id"].nunique()
