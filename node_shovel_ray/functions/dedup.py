@@ -282,10 +282,9 @@ def ngram_jaccard(
       captured in the verify task's closure (memory is O(candidates),
       never O(corpus)) and verified in one streaming pass;
     - else → two distributed keyed joins attach text_a / text_b onto the
-      pair rows (per-bucket memory bounded by bucket size). NOTE: this
-      fallback path hash-joins on int64 ids (``_attach_text`` casts); with
-      non-integer doc ids keep the candidate count under
-      ``broadcast_limit`` or pre-map ids to int64.
+      pair rows (per-bucket memory bounded by bucket size), keyed on the
+      id column's native Arrow type — string and integer doc ids both
+      flow through this path.
     """
     import ray
 
@@ -314,11 +313,9 @@ def ngram_jaccard(
 
     def jaccard_frame(b: pd.DataFrame, ta_col: str, tb_col: str) -> pd.DataFrame:
         if not len(b):
-            return pd.DataFrame(
-                {"doc_a": pd.Series([], dtype="int64"),
-                 "doc_b": pd.Series([], dtype="int64"),
-                 "jaccard": pd.Series([], dtype="float64")}
-            )
+            out = b[["doc_a", "doc_b"]].copy()  # keep upstream dtypes
+            out["jaccard"] = pd.Series([], dtype="float64")
+            return out
         # vectorized: hash every distinct text's shingles in ONE
         # hash_array call, then per-pair C-level intersect on sorted
         # uint64 arrays (no Python string-set ops in the loop)
@@ -427,17 +424,29 @@ def _attach_text(
     Union-then-bucket: both sides are normalized to one schema with a join
     key and a side marker, hash-partitioned on the key (one keyed exchange
     over candidate rows + candidate texts only), then merged per bucket with
-    a vectorized pandas map. Per-bucket memory is bounded by bucket size."""
+    a vectorized pandas map. Per-bucket memory is bounded by bucket size.
+    The join key keeps the pairs column's NATIVE Arrow type (string / int /
+    whatever — the texts id is cast to it), so non-integer doc ids flow
+    through the distributed path too."""
+    import pyarrow.compute as pc
+
     from ..stages.keyed import keyed_map_blocks
 
-    carry = [c for c in pairs.schema().names]
+    ptypes = _arrow_types(pairs)
+    key_t = ptypes[key_col]
+    carry = list(ptypes)
     text_carry = [c for c in carry if c.startswith("_text_")]
-    int_carry = [c for c in carry if c not in text_carry]
+    other_carry = [c for c in carry if c not in text_carry]
+    # every bucket emits this one Arrow schema (pandas widens int carry
+    # columns unioned with the texts side's nulls; the Arrow conversion
+    # restores the declared types uniformly — nulls can't appear: only
+    # pair rows survive the merge)
+    out_schema = pa.schema([(c, ptypes[c]) for c in carry] + [(out_col, pa.string())])
 
     def norm_pairs(t: pa.Table) -> pa.Table:
-        cols: dict = {"_jk": pc_cast_i64(t[key_col])}
-        for c in int_carry:
-            cols[c] = pc_cast_i64(t[c])
+        cols: dict = {"_jk": t[key_col]}
+        for c in other_carry:
+            cols[c] = t[c]
         for c in text_carry:
             cols[c] = t[c]
         cols["_txt"] = pa.nulls(len(t), pa.string())
@@ -445,9 +454,9 @@ def _attach_text(
         return pa.table(cols)
 
     def norm_texts(t: pa.Table) -> pa.Table:
-        cols: dict = {"_jk": pc_cast_i64(t[id_col])}
-        for c in int_carry:
-            cols[c] = pa.nulls(len(t), pa.int64())
+        cols: dict = {"_jk": pc.cast(t[id_col], key_t)}
+        for c in other_carry:
+            cols[c] = pa.nulls(len(t), ptypes[c])
         for c in text_carry:
             cols[c] = pa.nulls(len(t), pa.string())
         cols["_txt"] = t[column]
@@ -458,22 +467,35 @@ def _attach_text(
         texts.map_batches(norm_texts, batch_format="pyarrow")
     )
 
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
+    def merge(df: pd.DataFrame) -> pa.Table:
         is_txt = df["_side"] == 1
         tmap = df.loc[is_txt].set_index("_jk")["_txt"]
         out = df.loc[~is_txt, ["_jk", *carry]].copy()
         out[out_col] = out["_jk"].map(tmap)
-        for c in int_carry:  # pandas floats int64 cols unioned with nulls
-            out[c] = out[c].astype("int64")
-        return out.drop(columns=["_jk"])
+        return pa.Table.from_pandas(
+            out.drop(columns=["_jk"]), schema=out_schema, preserve_index=False
+        )
 
     return keyed_map_blocks(u, ["_jk"], merge)
 
 
-def pc_cast_i64(col):
-    import pyarrow.compute as pc
-
-    return pc.cast(col, pa.int64())
+def _arrow_types(ds: "ray.data.Dataset") -> dict:
+    """{column: pa.DataType} for a Dataset whose blocks may be Arrow OR
+    pandas (pandas-block schemas report numpy dtypes / ``object``;
+    ``object`` columns are strings under this engine's conventions)."""
+    sch = ds.schema()
+    base = getattr(sch, "base_schema", sch)
+    if isinstance(base, pa.Schema):
+        return dict(zip(base.names, base.types))
+    out = {}
+    for name, t in zip(sch.names, sch.types):
+        if isinstance(t, pa.DataType):
+            out[name] = t
+        elif t is object or t == np.dtype(object):
+            out[name] = pa.string()
+        else:
+            out[name] = pa.from_numpy_dtype(np.dtype(t))
+    return out
 
 
 # ------------------------------------------------------------------- SimHash

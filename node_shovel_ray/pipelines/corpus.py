@@ -250,29 +250,29 @@ def decontaminate_docs(sf_dir: str) -> "rd.Dataset":
     def norm(t: pa.Table) -> pa.Table:
         return normalize_text(t).select(["doc_id", "text_norm"])
 
-    docs = _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        norm, batch_format="pyarrow", zero_copy_batch=True
-    )
-    # benchmark texts: small side, collected once and broadcast into the
-    # anti filter (null text_norm never blocks — NOT EXISTS semantics,
-    # matching the SQL twin)
+    # benchmark texts: a SEPARATE filtered read — the ~1% bench rows are
+    # selected BEFORE normalize, so normalize_text runs over the corpus
+    # exactly once (in the anti pass below); deriving the blocklist from
+    # the shared lazy `docs` re-ran normalize over the full corpus twice
+    def bench_norm(t: pa.Table) -> pa.Table:
+        m = pc.subtract(t["doc_id"], pc.multiply(pc.divide(t["doc_id"], 97), 97))
+        return norm(t.filter(pc.equal(m, 0)))
+
+    # small side, collected once and broadcast into the anti filter (null
+    # text_norm never blocks — NOT EXISTS semantics, matching the SQL twin)
     bench_tn = {
         r["text_norm"]
-        for r in docs.map_batches(
-            lambda t: t.filter(
-                pc.equal(
-                    pc.subtract(
-                        t["doc_id"],
-                        pc.multiply(pc.divide(t["doc_id"], 97), 97),
-                    ),
-                    0,
-                )
-            ),
-            batch_format="pyarrow",
-        ).select_columns(["text_norm"]).take_all()
+        for r in _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(bench_norm, batch_format="pyarrow", zero_copy_batch=True)
+        .select_columns(["text_norm"])
+        .take_all()
         if r["text_norm"] is not None
     }
     blockset = pa.array(sorted(bench_tn), pa.string())
+
+    docs = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        norm, batch_format="pyarrow", zero_copy_batch=True
+    )
 
     def anti(t: pa.Table) -> pa.Table:
         hit = pc.fill_null(pc.is_in(t["text_norm"], value_set=blockset), False)

@@ -28,7 +28,6 @@ import pyarrow.compute as pc
 import ray.data
 
 from .. import schema as S
-from ..sources.jsonl import write_jsonl
 from ..stages.aggregate import hour_floor, sink_counts
 from ..stages.enrich import (
     lookup_enrich_auto,
@@ -132,38 +131,25 @@ def run(
         parsed, conv_meta, skew_aware=skew_aware,
         assume_partitioned=assume_partitioned,
     )
-    if out_dir is not None and assume_partitioned:
-        # single-pass sinks: route + write all 4 sinks + pre-aggregate counts
-        # in one scan — no materialize, no per-branch re-reads
+    if out_dir is not None:
+        # single-pass sinks for BOTH plans: route + write all 4 sinks +
+        # pre-aggregate counts in one scan — no materialize, no per-branch
+        # re-reads (the fallback plan used to materialize then make 4
+        # filtered write passes: N+1 scans of the routed data)
         from ..stages.sink import multi_sink_write
 
-        counts = multi_sink_write(routed, out_dir)
+        # materialize the (tiny) counts so the sink files are on disk when
+        # run() returns — the write is a side effect of this one scan
+        counts = multi_sink_write(routed, out_dir).materialize()
         sinks = {
             tag: os.path.join(out_dir, f"sink={tag}")
             for tag in (*S.SINKS, S.AUDIT_SINK)
         }
         return {"routed": routed, "counts": counts, "sinks": sinks}
-    if out_dir is not None:
-        # fan-out: materialize once so the 4 sink branches don't recompute
-        routed = routed.materialize()
-    sinks: dict[str, object] = {}
-    for tag in S.SINKS:
-        b = branch(routed, tag)
-        if out_dir is not None:
-            path = os.path.join(out_dir, f"sink={tag}")
-            b.write_parquet(path)
-            sinks[tag] = path
-        else:
-            sinks[tag] = b
-    audit = broadcast_branch(routed)
-    if out_dir is not None:
-        path = os.path.join(out_dir, f"sink={S.AUDIT_SINK}")
-        # vectorized JSONL sink — Dataset.write_json is row-level and ~13×
-        # slower on wide text rows
-        write_jsonl(audit.drop_columns(["hour"]), path)
-        sinks[S.AUDIT_SINK] = path
-    else:
-        sinks[S.AUDIT_SINK] = audit
+    sinks: dict[str, object] = {
+        tag: branch(routed, tag) for tag in S.SINKS
+    }
+    sinks[S.AUDIT_SINK] = broadcast_branch(routed)
     counts = sink_counts(routed)
     return {"routed": routed, "counts": counts, "sinks": sinks}
 

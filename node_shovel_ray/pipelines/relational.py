@@ -107,9 +107,23 @@ def join_orders_customers(sf_dir: str) -> "rd.Dataset":
 
 
 def topk_orders(sf_dir: str, k: int = 10) -> "rd.Dataset":
-    """Global top-k by price (deterministic tiebreak on orderkey)."""
+    """Global top-k by price (deterministic tiebreak on orderkey).
+
+    Partial top-k per block first (the vocab_top_tokens plan): the global
+    sort-shuffle then sees only k × n_blocks rows, never the full orders
+    table — a full-table sort for 10 rows is the classic all-to-all
+    bottleneck at scale."""
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
-    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, True]).limit(k)
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, False]
+        ).head(k)
+
+    pruned = ds.map_batches(local_topk, batch_format="pandas", batch_size=None)
+    return pruned.sort(
+        ["o_totalprice", "o_orderkey"], descending=[True, True]
+    ).limit(k)
 
 
 def distinct_event_types(sf_dir: str) -> pa.Table:

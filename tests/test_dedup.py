@@ -132,6 +132,18 @@ def test_ngram_jaccard_string_ids(ray_session):
     pairs = rd.from_arrow(pa.table({"doc_a": ["d0"], "doc_b": ["d1"]}))
     got = ngram_jaccard(pairs, texts, k=2, concurrency=(1, 2)).to_pandas()
     assert got["jaccard"].tolist() == [1 / 3]  # {a b} of {a b, b c, b d}
+    # VERDICT r3 #6: string ids through the DISTRIBUTED (keyed-join)
+    # verify path too — broadcast_limit=0 forces _attach_text, which now
+    # keys on the column's native Arrow type instead of casting to int64
+    pairs2 = rd.from_arrow(
+        pa.table({"doc_a": ["d0", "d2"], "doc_b": ["d1", "d0"]})
+    )
+    kj = (
+        ngram_jaccard(pairs2, texts, k=2, concurrency=(1, 2), broadcast_limit=0)
+        .to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    )
+    assert kj["doc_a"].tolist() == ["d0", "d2"]
+    assert kj["jaccard"].tolist() == [1 / 3, 0.0]
 
 
 def test_connected_components_and_dedup_near(ray_session):
