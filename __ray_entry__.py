@@ -19,7 +19,13 @@ import pyarrow as pa
 
 import ray.data as rd
 
-from node_shovel_ray.pipelines import corpus, flagship, relational, sql_oracle as Q
+from node_shovel_ray.pipelines import (
+    corpus,
+    flagship,
+    media,
+    relational,
+    sql_oracle as Q,
+)
 from node_shovel_ray.stages.parse import parse
 from node_shovel_ray.stages.transcriptify import transcriptify
 
@@ -184,6 +190,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_docs": corpus.mixture_docs,
         # PII-density counts (scrub-or-drop gate, r3)
         "pii_stats_docs": corpus.pii_stats_docs,
+        # multimodal REAL decode (r4: BMP/PPM/WAV/frame-stream parsed by
+        # pure-Python wire codecs, stats oracle-checked via the closed-form
+        # content contract in stages/multimodal.synth_media_from_ids)
+        "media_image_stats": media.media_image_stats,
+        "media_audio_stats": media.media_audio_stats,
+        "media_frame_stats": media.media_frame_stats,
     }
 
 
@@ -478,6 +490,9 @@ def oracle_sql() -> dict[str, str]:
                 AS text_norm
             FROM documents
         """,
+        "media_image_stats": media.Q_MEDIA_IMAGE,
+        "media_audio_stats": media.Q_MEDIA_AUDIO,
+        "media_frame_stats": media.Q_MEDIA_FRAMES,
         # minhash_pairs_docs / simhash_pairs_docs / neardup_dedup_docs /
         # knn_ivf_vec0 / embed_neardup_lsh: recall<1 by design (LSH/IVF) →
         # rows-only check here, but each asserts a python-oracle/recall
