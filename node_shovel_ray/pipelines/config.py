@@ -121,6 +121,42 @@ def _in_items(o):
     return lambda: rd.from_items(o["items"])
 
 
+@register("input", "tail")
+def _in_tail(o):
+    # file `follow: true` analogue (reference src/inputs/file.js:113-126):
+    # each pipeline run is one tail TICK — only lines appended since the
+    # committed offset flow in; whole-line guarantee, rotation reset.
+    # `state_dir` holds the offset manifest (sources/tail.py).
+    from ..sources.tail import (
+        commit_offsets,
+        consumed_offsets,
+        discover_appended,
+        load_offsets,
+        tail_dataset,
+    )
+
+    tick: dict = {"ranges": []}
+
+    def make():
+        tick["ranges"] = discover_appended(
+            o["path"], o["state_dir"], pattern=o.get("pattern", "*.log")
+        )
+        return tail_dataset(
+            tick["ranges"], max_chunk=int(o.get("max_chunk", 64 << 20))
+        )
+
+    def commit():
+        # called by build().run() AFTER the sink succeeds — crash before
+        # this re-reads the same ranges next run (at-least-once; pair with
+        # ResumableRunner output partitions for exactly-once)
+        state = load_offsets(o["state_dir"])
+        state.update(consumed_offsets(tick["ranges"]))
+        commit_offsets(o["state_dir"], state)
+
+    make.commit = commit
+    return make
+
+
 # decoders -----------------------------------------------------------------
 
 
@@ -619,7 +655,12 @@ def build(cfg: PipelineConfig, capture: dict | None = None):
         if capture is not None:
             capture["dataset"] = ds
         if multi is None:
-            return sink(ds)
+            out = sink(ds)
+            # sources with progress state (input: tail) commit it only
+            # after the sink succeeded
+            if hasattr(source, "commit"):
+                source.commit()
+            return out
         # multi-output: materialize once so sinks don't recompute upstream
         # (SURVEY.md §7.5 fan-out-without-recompute)
         if cfg.mode == "fanout":
@@ -659,8 +700,13 @@ def build(cfg: PipelineConfig, capture: dict | None = None):
                     batch_format="pyarrow",
                 )
                 outs.append(s(part))
+            if hasattr(source, "commit"):
+                source.commit()
             return outs
         mat = ds.materialize()
-        return [s(mat) for s in multi]
+        outs = [s(mat) for s in multi]
+        if hasattr(source, "commit"):
+            source.commit()
+        return outs
 
     return run

@@ -247,3 +247,40 @@ def test_text_input_reads_gzip(ray_session, tmp_path):
         f.write("a\nb\n")
     ds = REGISTRY["input"]["text"]({"path": str(p)})()
     assert [r["text"] for r in ds.take_all()] == ["a", "b"]
+
+
+def test_tail_input_commits_after_sink(ray_session, tmp_path):
+    # file `follow: true` analogue: run the SAME config twice; the second
+    # run sees only lines appended between runs (offset state committed
+    # after the sink succeeded)
+    import os
+
+    watch = tmp_path / "logs"
+    watch.mkdir()
+    f = watch / "app.log"
+    f.write_bytes(b"l1\nl2\n")
+    out1 = tmp_path / "out1"
+    out2 = tmp_path / "out2"
+
+    def cfg(out):
+        return PipelineConfig.from_dict(
+            {
+                "name": "tailer",
+                "input": {"use": "tail", "options": {
+                    "path": str(watch), "state_dir": str(tmp_path / "state")}},
+                "output": {"use": "parquet", "options": {"path": str(out)}},
+            }
+        )
+
+    build(cfg(out1))()
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    a = pq.read_table(str(out1)).to_pandas()
+    assert sorted(a["line"]) == ["l1", "l2"]
+
+    with open(f, "ab") as fh:
+        fh.write(b"l3\n")
+    build(cfg(out2))()
+    b = pq.read_table(str(out2)).to_pandas()
+    assert b["line"].tolist() == ["l3"] and b["line_no"].tolist() == [2]
