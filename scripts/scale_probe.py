@@ -1,0 +1,193 @@
+"""Memory-envelope scale probe (VERDICT r3 #8): run the two headline
+pipelines on a fixture ~4× the bench scale and record the PEAK object-store
+footprint + spill, evidencing that block sizing / 2 GiB Arrow spans hold an
+order of magnitude up from the gate scale.
+
+Usage:
+  python scripts/scale_probe.py [n_convs] [n_docs]    # defaults 320k / 10M
+
+Outputs one JSON line:
+  {"flagship": {rows, sec, peak_object_store_gb, store_total_gb, spilled_mb},
+   "curation": {...}, ...}
+
+Peak usage is sampled by a background thread polling
+``ray.available_resources()['object_store_memory']`` against the total —
+the same signal the autoscaler uses — plus the end-of-run
+``memory_summary`` spill counters.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import threading
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+PROBE_DIR = os.environ.get("NSR_PROBE_DIR", "/tmp/nsr_probe")
+
+
+class StoreSampler:
+    """Poll object-store availability; track peak usage."""
+
+    def __init__(self, period_s: float = 0.25):
+        import ray
+
+        self.total = float(ray.cluster_resources().get("object_store_memory", 0))
+        self.peak_used = 0.0
+        self._stop = threading.Event()
+        self._t = threading.Thread(target=self._loop, args=(period_s,), daemon=True)
+
+    def _loop(self, period_s: float):
+        import ray
+
+        while not self._stop.is_set():
+            avail = float(
+                ray.available_resources().get("object_store_memory", self.total)
+            )
+            self.peak_used = max(self.peak_used, self.total - avail)
+            time.sleep(period_s)
+
+    def __enter__(self):
+        self._t.start()
+        return self
+
+    def __exit__(self, *exc):
+        self._stop.set()
+        self._t.join(timeout=2)
+
+
+def spilled_mb() -> float:
+    """Cumulative plasma spill from ray's memory summary (0 if none)."""
+    try:
+        from ray._private.internal_api import memory_summary
+
+        s = memory_summary(stats_only=True)
+        m = re.search(r"Spilled (\d+) MiB", s)
+        return float(m.group(1)) if m else 0.0
+    except Exception:
+        return float("nan")
+
+
+# ------------------------------------------------- big documents fixture
+
+
+def gen_documents(out_dir: str, n_docs: int, seed: int = 7,
+                  n_files: int = 64) -> str:
+    """Deterministic large documents table, written shard-by-shard so the
+    generator itself stays in a small memory envelope. Layout matches the
+    testdata contract (doc_id/text/lang/source/n_chars); text ~60 tokens
+    from a seeded vocab with planted exact duplicates (every 50th doc
+    repeats the previous doc's text) so dedup has real work."""
+    docs_path = os.path.join(out_dir, "documents.parquet")
+    done = os.path.join(out_dir, f".docs_{n_docs}_{seed}")
+    if os.path.exists(done):
+        return out_dir
+    os.makedirs(docs_path, exist_ok=True)
+    vocab = np.array(
+        ["tok%04d" % i for i in range(4096)]
+        + ["the", "of", "and", "to", "in", "is", "was", "for", "on", "with"]
+    )
+    langs = np.array(["en", "de", "fr", "es", "pt"])
+    sources = np.array(["web", "books", "code", "wiki"])
+    per = (n_docs + n_files - 1) // n_files
+    for f in range(n_files):
+        lo, hi = f * per, min((f + 1) * per, n_docs)
+        if lo >= hi:
+            break
+        rng = np.random.default_rng([seed, f])
+        n = hi - lo
+        ids = np.arange(lo, hi, dtype=np.int64)
+        toks = rng.choice(vocab, size=(n, 60))
+        texts = np.array([" ".join(row) for row in toks])
+        dup = (ids % 50 == 0) & (ids > lo)  # planted exact dups
+        texts[dup] = texts[np.flatnonzero(dup) - 1]
+        t = pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(langs[ids % len(langs)], pa.string()),
+                "source": pa.array(sources[ids % len(sources)], pa.string()),
+                "n_chars": pa.array(np.char.str_len(texts).astype(np.int64)),
+            }
+        )
+        pq.write_table(t, os.path.join(docs_path, f"part-{f:05d}.parquet"))
+    open(done, "w").write("ok\n")
+    return out_dir
+
+
+# ------------------------------------------------- probes
+
+
+def probe_flagship(n_convs: int) -> dict:
+    import ray
+
+    from node_shovel_ray.gen import write_fixture
+    from node_shovel_ray.pipelines import flagship
+    from node_shovel_ray.sources.partitioned import read_partitioned_parquet
+
+    fx = os.path.join(PROBE_DIR, f"transcripts_{n_convs}")
+    write_fixture(fx, n_convs=n_convs, seed=42, n_files=256)
+    meta = pq.read_table(os.path.join(fx, "conv_meta.parquet"))
+    sink = os.path.join(PROBE_DIR, "flagship_out")
+    t0 = time.time()
+    with StoreSampler() as samp:
+        ds = read_partitioned_parquet(os.path.join(fx, "transcripts"))
+        res = flagship.run(ds, meta, out_dir=sink, assume_partitioned=True)
+        counts = res["counts"].to_pandas()
+    sec = time.time() - t0
+    rows = int(counts[counts["sink_tag"] != "audit"]["n"].sum())
+    return {
+        "rows": rows, "sec": round(sec, 1),
+        "rows_per_s": int(rows / sec),
+        "peak_object_store_gb": round(samp.peak_used / 2**30, 2),
+        "store_total_gb": round(samp.total / 2**30, 2),
+        "spilled_mb": spilled_mb(),
+    }
+
+
+def probe_curation(n_docs: int) -> dict:
+    from node_shovel_ray.pipelines import corpus
+
+    docs_dir = os.path.join(PROBE_DIR, f"docs_{n_docs}")
+    gen_documents(docs_dir, n_docs)
+    t0 = time.time()
+    with StoreSampler() as samp:
+        out = corpus.curated_docs(docs_dir, min_quality=0.2, k=1000)
+        n_out = out.count()
+    sec = time.time() - t0
+    return {
+        "rows_in": n_docs, "rows_out": int(n_out), "sec": round(sec, 1),
+        "rows_per_s": int(n_docs / sec),
+        "peak_object_store_gb": round(samp.peak_used / 2**30, 2),
+        "store_total_gb": round(samp.total / 2**30, 2),
+        "spilled_mb": spilled_mb(),
+    }
+
+
+def main():
+    import ray
+
+    n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 320_000
+    n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000_000
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=32, include_dashboard=False,
+                 logging_level="ERROR")
+    out = {
+        "flagship": probe_flagship(n_convs),
+        "curation": probe_curation(n_docs),
+        "n_convs": n_convs, "n_docs": n_docs,
+    }
+    print(json.dumps(out))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
