@@ -179,6 +179,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # decontamination (broadcast anti filter on normalized text)
         "pack_docs_seq": corpus.pack_docs_seq,
         "decontaminate_docs": corpus.decontaminate_docs,
+        # huge-blocklist variant: Bloom pre-filter + exact anti-join verify
+        # (same semantics, same oracle; r4)
+        "decontaminate_bloom_docs": corpus.decontaminate_bloom_docs,
         # repetition quality signal + n-gram-overlap contamination (r3)
         "repetition_docs": corpus.repetition_docs,
         "contaminated_docs": corpus.contaminated_docs,
@@ -473,6 +476,20 @@ def oracle_sql() -> dict[str, str]:
             FROM c
         """,
         "decontaminate_docs": r"""
+            WITH norm AS (
+              SELECT doc_id,
+                trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g'))
+                  AS tn
+              FROM documents
+            ), bench AS (
+              SELECT tn FROM norm WHERE doc_id % 97 = 0
+            )
+            SELECT n.doc_id FROM norm n
+            WHERE NOT EXISTS (SELECT 1 FROM bench b WHERE b.tn = n.tn)
+        """,
+        # the Bloom variant is exact (positives are re-verified against the
+        # blocklist), so it shares the plain variant's oracle
+        "decontaminate_bloom_docs": r"""
             WITH norm AS (
               SELECT doc_id,
                 trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g'))

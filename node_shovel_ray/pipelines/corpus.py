@@ -281,6 +281,101 @@ def decontaminate_docs(sf_dir: str) -> "rd.Dataset":
     return docs.map_batches(anti, batch_format="pyarrow")
 
 
+def decontaminate_bloom_docs(sf_dir: str, bits_per_key: int = 12,
+                             k: int = 8) -> "rd.Dataset":
+    """Same contract as :func:`decontaminate_docs`, scaled for HUGE
+    blocklists: instead of broadcasting the raw blocklist strings (GBs at
+    a 10M-entry eval set), broadcast a ~12-bits/key Bloom filter
+    (functions/bloom.py). The corpus streams through one normalize pass;
+    bloom-negatives (the overwhelming majority) are kept immediately,
+    and only the bloom-positive sliver (true matches + ~0.3% false
+    positives) is checked EXACTLY against the blocklist via a distributed
+    anti join — so the result is exact and the plain variant's SQL oracle
+    applies unchanged. No O(keys) driver set, no O(keys·strlen)
+    broadcast: driver memory is O(filter bits), per-actor state is the
+    bitmap fetched once from plasma.
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    from ..functions.bloom import bloom_from_datasets, bloom_query, default_hash64
+    from ..functions.textstats import normalize_text
+    from ..stages.join import hash_join
+    from ..stages.keyed import keyed_map_blocks
+
+    _hash = default_hash64
+
+    def norm(t: pa.Table) -> pa.Table:
+        return normalize_text(t).select(["doc_id", "text_norm"])
+
+    def bench_norm(t: pa.Table) -> pa.Table:
+        m = pc.subtract(t["doc_id"], pc.multiply(pc.divide(t["doc_id"], 97), 97))
+        return norm(t.filter(pc.equal(m, 0)))
+
+    # blocklist side: filtered read (only ~1% of rows normalized), small,
+    # reused three times (count, filter build, exact verify) → materialize
+    bench = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(bench_norm, batch_format="pyarrow", zero_copy_batch=True)
+        .select_columns(["text_norm"])
+        .materialize()
+    )
+    bf = bloom_from_datasets(
+        bench, "text_norm", max(bench.count(), 1), _hash,
+        bits_per_key=bits_per_key, k=k,
+    )
+    bf_ref = ray.put(bf)
+
+    # ONE normalize pass over the corpus; the output drops the wide text
+    # and keeps text_norm only for bloom-positives, so materializing it
+    # (needed to branch without re-running normalize) is cheap
+    def probe(t: pa.Table) -> pa.Table:
+        f = ray.get(bf_ref)  # zero-copy plasma read, cached per node
+        t = norm(t)
+        tn = t["text_norm"].to_pandas()
+        maybe = np.zeros(len(t), dtype=bool)
+        nn = tn.notna().to_numpy()
+        if nn.any():  # null text_norm never matches (NOT EXISTS semantics)
+            maybe[nn] = bloom_query(f, _hash(tn[nn].to_numpy(dtype=object)))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "maybe": pa.array(maybe),
+                "text_norm": pa.array(tn.where(maybe, None), pa.string()),
+            }
+        )
+
+    reduced = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()
+    )
+
+    def negatives(t: pa.Table) -> pa.Table:
+        return t.filter(pc.invert(t["maybe"])).select(["doc_id"])
+
+    def positives(t: pa.Table) -> pa.Table:
+        return t.filter(t["maybe"]).select(["doc_id", "text_norm"])
+
+    keep = reduced.map_batches(negatives, batch_format="pyarrow")
+    pos = reduced.map_batches(positives, batch_format="pyarrow")
+
+    # exact verify: anti join the sliver against the distinct blocklist
+    def distinct(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates("text_norm")
+
+    bench_marked = keyed_map_blocks(bench, ["text_norm"], distinct).map_batches(
+        lambda t: t.append_column("_bench", pa.array(np.ones(len(t), np.int8))),
+        batch_format="pyarrow",
+    )
+    joined = hash_join(pos, bench_marked, left_on="text_norm", how="left")
+    fps = joined.map_batches(
+        lambda t: t.filter(pc.is_null(t["_bench"])).select(["doc_id"]),
+        batch_format="pyarrow",
+    )
+    return keep.union(fps)
+
+
 def repetition_docs(sf_dir: str, n: int = 3) -> "rd.Dataset":
     """Gopher/C4-style intra-doc repetition signal: duplicate-n-gram ratio
     per document (fully oracle-paired via list_distinct)."""
