@@ -185,6 +185,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # repetition quality signal + n-gram-overlap contamination (r3)
         "repetition_docs": corpus.repetition_docs,
         "contaminated_docs": corpus.contaminated_docs,
+        # cross-document n-gram duplication signal (corpus-level df; r4)
+        "crossdoc_gram_docs": corpus.crossdoc_gram_docs,
         # deterministic train/val/test assignment (r3)
         "split_docs": corpus.split_docs,
         # corpus-trained unigram-LM quality scoring (KenLM-filter shape, r3)
@@ -457,6 +459,35 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT DISTINCT doc_id FROM grams
             WHERE doc_id % 97 <> 0 AND g IN (SELECT g FROM bench)
+        """,
+        "crossdoc_gram_docs": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                list_filter(string_split_regex(text, '[ \t\n\r\f\v]+'),
+                            x -> x <> '') AS tk
+              FROM documents
+            ), grams AS (
+              SELECT doc_id,
+                unnest(list_transform(range(1, greatest(len(tk) - 2, 0) + 1),
+                                      i -> array_to_string(tk[i:i+2], ' '))) AS g
+              FROM toks
+            ), df AS (
+              SELECT g, count(DISTINCT doc_id) AS df FROM grams GROUP BY g
+            ), common AS (
+              SELECT g FROM df WHERE df >= 2
+            ), per AS (
+              SELECT doc_id, count(*) AS n_grams,
+                     sum(CASE WHEN g IN (SELECT g FROM common)
+                         THEN 1 ELSE 0 END) AS n_common
+              FROM grams GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+                   CAST(coalesce(p.n_common, 0) AS BIGINT) AS n_common,
+                   CASE WHEN coalesce(p.n_grams, 0) = 0 THEN 0.0
+                        ELSE round(coalesce(p.n_common, 0) * 1.0
+                                   / p.n_grams, 4) END AS common_ratio
+            FROM toks t LEFT JOIN per p USING (doc_id)
         """,
         "pack_docs_seq": r"""
             WITH t AS (

@@ -420,6 +420,83 @@ def contaminated_docs(sf_dir: str, n: int = 5) -> "rd.Dataset":
     return ngram_contamination(probe, bench, n=n)
 
 
+def crossdoc_gram_docs(sf_dir: str, n: int = 3, min_df: int = 2) -> "rd.Dataset":
+    """Cross-document n-gram duplication signal (the corpus-level C4 /
+    "Deduplicating Training Data" measure, complementing the intra-doc
+    :func:`repetition_docs`): document frequency per word n-gram, then
+    per doc the share of gram positions whose gram occurs in ≥ ``min_df``
+    distinct documents.
+
+    Scale shape: pass 1 computes DISTINCT (doc, gram) per block (each doc
+    lives in one block, so per-gram doc counts are additive) and the
+    exchange carries one (gram, block) partial row — never the corpus.
+    The ≥min_df "common" grams are the heavy hitters of a power-law
+    distribution → small; broadcast into pass 2's streaming scorer. At
+    100 TB, swap the raw gram strings for 64-bit gram hashes on the
+    exchange (as dedup_exact documents) and broadcast the common set as a
+    Bloom filter (functions/bloom.py); kept as strings here so DuckDB
+    reproduces the whole computation.
+    """
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    from ..functions.dedup import _flat_ngrams
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        grams, offs = _flat_ngrams(t["text"].to_pylist(), n)
+        seg = np.repeat(t["doc_id"].to_numpy(), np.diff(offs))
+        part = (
+            pd.DataFrame({"gram": grams, "doc": seg})
+            .drop_duplicates()
+            .groupby("gram", sort=False)
+            .size()
+            .reset_index(name="df")
+        )
+        return pa.table(
+            {"gram": pa.array(part["gram"], pa.string()),
+             "df": pa.array(part["df"].to_numpy(np.int64))}
+        )
+
+    gram_df = (
+        docs.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("gram")
+        .aggregate(Sum("df", alias_name="df"))
+    )
+    common = pa.array(
+        sorted(
+            r["gram"]
+            for r in gram_df.filter(expr=f"df >= {min_df}").take_all()
+        ),
+        pa.string(),
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        grams, offs = _flat_ngrams(t["text"].to_pylist(), n)
+        n_grams = np.diff(offs)
+        hit = pc.is_in(pa.array(grams, pa.string()), value_set=common)
+        seg = np.repeat(np.arange(len(t), dtype=np.int64), n_grams)
+        n_common = np.bincount(
+            seg, weights=hit.to_numpy(zero_copy_only=False), minlength=len(t)
+        ).astype(np.int64)
+        ratio = np.where(n_grams > 0, n_common / np.maximum(n_grams, 1), 0.0)
+        # DuckDB rounds half AWAY from zero; np.round is half-even
+        # (CLAUDE.md) — ratios are ≥ 0 so floor(x·10⁴ + ½) matches
+        ratio4 = np.floor(ratio * 1e4 + 0.5) / 1e4
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_grams": pa.array(n_grams.astype(np.int64)),
+                "n_common": pa.array(n_common),
+                "common_ratio": pa.array(ratio4),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
 SPLIT_FRACTIONS = {"train": 0.9, "val": 0.05, "test": 0.05}
 
 # corpus mixture: per-source sampling rates (data-mixing weights)

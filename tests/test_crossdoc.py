@@ -1,0 +1,34 @@
+"""Cross-document n-gram duplication signal (pipelines/corpus.py)."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from node_shovel_ray.pipelines.corpus import crossdoc_gram_docs
+
+
+def test_crossdoc_hand_computed(tmp_path):
+    # doc0/doc1 share the trigram "a b c"; doc2 shares nothing; doc3 is
+    # too short for any trigram
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(["a b c d", "a b c e", "x y z w", "a b"]),
+        }
+    )
+    d = tmp_path / "documents.parquet"
+    os.makedirs(d)
+    pq.write_table(docs, str(d / "part-0.parquet"))
+
+    out = {
+        r["doc_id"]: r
+        for r in crossdoc_gram_docs(str(tmp_path), n=3, min_df=2).take_all()
+    }
+    assert out[0]["n_grams"] == 2 and out[0]["n_common"] == 1
+    assert out[0]["common_ratio"] == 0.5
+    assert out[1]["n_grams"] == 2 and out[1]["n_common"] == 1
+    assert out[2]["n_grams"] == 2 and out[2]["n_common"] == 0
+    assert out[3]["n_grams"] == 0 and out[3]["common_ratio"] == 0.0
