@@ -156,8 +156,19 @@ def _side_queries() -> dict[str, float]:
 
     timed("curation_pipeline", lambda: corpus.curated_docs(SF_DIR).count())
     timed("pack_docs", lambda: corpus.pack_docs_seq(SF_DIR).count())
-    timed("embed_neardup_tiled", lambda: corpus.embed_neardup(SF_DIR).num_rows)
+    timed("embed_neardup_tiled", lambda: corpus.embed_neardup(SF_DIR).count())
     timed("unigram_lm", lambda: corpus.unigram_logprob_docs(SF_DIR).count())
+
+    # r4 operators: Bloom-pre-filtered decontamination, cross-doc n-gram
+    # duplication, real multimodal decode (BMP wire codec → pixel stats)
+    from node_shovel_ray.pipelines import media
+
+    timed(
+        "decontaminate_bloom",
+        lambda: corpus.decontaminate_bloom_docs(SF_DIR).count(),
+    )
+    timed("crossdoc_grams", lambda: corpus.crossdoc_gram_docs(SF_DIR).count())
+    timed("media_decode", lambda: media.media_image_stats(SF_DIR).count())
     return out
 
 

@@ -663,29 +663,36 @@ def simhash_pairs_docs(sf_dir: str) -> "rd.Dataset":
     )
 
 
-def embed_neardup(sf_dir: str, threshold: float = 0.35) -> pa.Table:
+def embed_neardup(sf_dir: str, threshold: float = 0.35) -> "rd.Dataset":
     """Embedding-cosine near-dup pairs — EXACT, via the tiled block×block
     keyed exchange (functions/similarity.cosine_pairs_tiled): same answer
     as the brute-force broadcast but per-task memory is O(N / n_tiles × d),
     so the oracle-checked path is also the 100 TB path. The broadcast
     variant remains as a test-only cross-check
-    (tests/test_similarity.py: tiled == brute)."""
+    (tests/test_similarity.py: tiled == brute). Output ordering is a
+    distributed ``Dataset.sort`` — the pairs never gather on the driver
+    (VERDICT r3: matters if thresholds ever go low)."""
     from ..functions.similarity import cosine_pairs_tiled
 
-    got = cosine_pairs_tiled(
-        rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet")),
-        threshold=threshold,
-    ).to_pandas()
-    got = got.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
-    return pa.table(
-        {
-            "vec_a": pa.array(got["vec_a"], pa.int64()),
-            "vec_b": pa.array(got["vec_b"], pa.int64()),
-            "sim": pa.compute.round(
-                pa.array(got["sim"], pa.float64()), 4,
-                round_mode="half_towards_infinity",
-            ),
-        }
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vec_a": pa.compute.cast(t["vec_a"], pa.int64()),
+                "vec_b": pa.compute.cast(t["vec_b"], pa.int64()),
+                "sim": pa.compute.round(
+                    pa.compute.cast(t["sim"], pa.float64()), 4,
+                    round_mode="half_towards_infinity",
+                ),
+            }
+        )
+
+    return (
+        cosine_pairs_tiled(
+            rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet")),
+            threshold=threshold,
+        )
+        .map_batches(finish, batch_format="pyarrow")
+        .sort(["vec_a", "vec_b"])
     )
 
 
