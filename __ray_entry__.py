@@ -187,6 +187,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contaminated_docs": corpus.contaminated_docs,
         # cross-document n-gram duplication signal (corpus-level df; r4)
         "crossdoc_gram_docs": corpus.crossdoc_gram_docs,
+        # deterministic seeded corpus shuffle (reproducible epoch order; r4)
+        "shuffle_docs": corpus.shuffle_docs,
         # deterministic train/val/test assignment (r3)
         "split_docs": corpus.split_docs,
         # corpus-trained unigram-LM quality scoring (KenLM-filter shape, r3)
@@ -488,6 +490,17 @@ def oracle_sql() -> dict[str, str]:
                         ELSE round(coalesce(p.n_common, 0) * 1.0
                                    / p.n_grams, 4) END AS common_ratio
             FROM toks t LEFT JOIN per p USING (doc_id)
+        """,
+        "shuffle_docs": r"""
+            WITH h AS (
+              SELECT doc_id,
+                md5_number_lower('shuf42:' || CAST(doc_id AS VARCHAR)) AS h
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(row_number() OVER (ORDER BY h, doc_id) - 1 AS BIGINT)
+                     AS shuffle_rank
+            FROM h
         """,
         "pack_docs_seq": r"""
             WITH t AS (

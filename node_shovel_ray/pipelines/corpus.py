@@ -497,6 +497,15 @@ def crossdoc_gram_docs(sf_dir: str, n: int = 3, min_df: int = 2) -> "rd.Dataset"
     return docs.map_batches(score, batch_format="pyarrow")
 
 
+def shuffle_docs(sf_dir: str, seed: str = "shuf42") -> "rd.Dataset":
+    """Deterministic seeded corpus shuffle: every doc's 0-based position
+    in the reproducible global training order (functions/shuffle.py —
+    distributed rank over the md5 hash domain, no global row sort)."""
+    from ..functions.shuffle import deterministic_shuffle
+
+    return deterministic_shuffle(_docs(sf_dir, ["doc_id"]), seed=seed)
+
+
 SPLIT_FRACTIONS = {"train": 0.9, "val": 0.05, "test": 0.05}
 
 # corpus mixture: per-source sampling rates (data-mixing weights)
