@@ -420,7 +420,8 @@ def contaminated_docs(sf_dir: str, n: int = 5) -> "rd.Dataset":
     return ngram_contamination(probe, bench, n=n)
 
 
-def crossdoc_gram_docs(sf_dir: str, n: int = 3, min_df: int = 2) -> "rd.Dataset":
+def crossdoc_gram_docs(sf_dir: str, n: int = 3, min_df: int = 2,
+                       hashed: bool = False) -> "rd.Dataset":
     """Cross-document n-gram duplication signal (the corpus-level C4 /
     "Deduplicating Training Data" measure, complementing the intra-doc
     :func:`repetition_docs`): document frequency per word n-gram, then
@@ -431,32 +432,46 @@ def crossdoc_gram_docs(sf_dir: str, n: int = 3, min_df: int = 2) -> "rd.Dataset"
     lives in one block, so per-gram doc counts are additive) and the
     exchange carries one (gram, block) partial row — never the corpus.
     The ≥min_df "common" grams are the heavy hitters of a power-law
-    distribution → small; broadcast into pass 2's streaming scorer. At
-    100 TB, swap the raw gram strings for 64-bit gram hashes on the
-    exchange (as dedup_exact documents) and broadcast the common set as a
-    Bloom filter (functions/bloom.py); kept as strings here so DuckDB
-    reproduces the whole computation.
+    distribution → small; broadcast into pass 2's streaming scorer.
+
+    ``hashed=True`` is the 100 TB variant: the exchange and broadcast
+    carry 64-bit gram hashes instead of raw strings (~10× fewer shuffle
+    bytes at typical gram lengths; hash collisions across ~corpus-distinct
+    grams are the usual 2⁻⁶⁴-scale risk). The default stays strings so
+    DuckDB reproduces the whole computation; a test pins
+    hashed ≡ strings at gate scale.
     """
     import pyarrow.compute as pc
 
     from ray.data.aggregate import Sum
 
+    from ..functions.bloom import default_hash64
     from ..functions.dedup import _flat_ngrams
 
     docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def gram_key(grams: list[str]):
+        if hashed:
+            return default_hash64(np.array(grams, dtype=object))
+        return grams
 
     def df_partial(t: pa.Table) -> pa.Table:
         grams, offs = _flat_ngrams(t["text"].to_pylist(), n)
         seg = np.repeat(t["doc_id"].to_numpy(), np.diff(offs))
         part = (
-            pd.DataFrame({"gram": grams, "doc": seg})
+            pd.DataFrame({"gram": gram_key(grams), "doc": seg})
             .drop_duplicates()
             .groupby("gram", sort=False)
             .size()
             .reset_index(name="df")
         )
+        key_arr = (
+            pa.array(part["gram"].to_numpy(np.uint64), pa.uint64())
+            if hashed
+            else pa.array(part["gram"], pa.string())
+        )
         return pa.table(
-            {"gram": pa.array(part["gram"], pa.string()),
+            {"gram": key_arr,
              "df": pa.array(part["df"].to_numpy(np.int64))}
         )
 
@@ -470,13 +485,18 @@ def crossdoc_gram_docs(sf_dir: str, n: int = 3, min_df: int = 2) -> "rd.Dataset"
             r["gram"]
             for r in gram_df.filter(expr=f"df >= {min_df}").take_all()
         ),
-        pa.string(),
+        pa.uint64() if hashed else pa.string(),
     )
 
     def score(t: pa.Table) -> pa.Table:
         grams, offs = _flat_ngrams(t["text"].to_pylist(), n)
         n_grams = np.diff(offs)
-        hit = pc.is_in(pa.array(grams, pa.string()), value_set=common)
+        keys = gram_key(grams)
+        key_arr = (
+            pa.array(keys, pa.uint64()) if hashed
+            else pa.array(keys, pa.string())
+        )
+        hit = pc.is_in(key_arr, value_set=common)
         seg = np.repeat(np.arange(len(t), dtype=np.int64), n_grams)
         n_common = np.bincount(
             seg, weights=hit.to_numpy(zero_copy_only=False), minlength=len(t)

@@ -32,3 +32,17 @@ def test_crossdoc_hand_computed(tmp_path):
     assert out[1]["n_grams"] == 2 and out[1]["n_common"] == 1
     assert out[2]["n_grams"] == 2 and out[2]["n_common"] == 0
     assert out[3]["n_grams"] == 0 and out[3]["common_ratio"] == 0.0
+
+
+def test_hashed_exchange_matches_strings():
+    sf = "/root/testdata/sf0.001"
+    plain = sorted(
+        map(tuple, (r.values() for r in crossdoc_gram_docs(sf).take_all()))
+    )
+    hashed = sorted(
+        map(
+            tuple,
+            (r.values() for r in crossdoc_gram_docs(sf, hashed=True).take_all()),
+        )
+    )
+    assert hashed == plain
