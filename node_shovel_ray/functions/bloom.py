@@ -113,7 +113,9 @@ def bloom_from_datasets(ds, col: str, n_keys: int, hash_fn,
         return pa.table({"bloom": pa.array([part.tobytes()], pa.binary())})
 
     acc = np.zeros(m // 8, dtype=np.uint8)
-    partials = ds.map_batches(partial, batch_format="pyarrow")
+    # batch_size=None → one m/8-byte partial PER BLOCK, not per 1024-row
+    # batch — bounds partial-bitmap traffic to n_blocks × m bytes
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
     for batch in partials.iter_batches(batch_size=4, batch_format="pyarrow"):
         for buf in batch["bloom"]:
             np.bitwise_or(acc, np.frombuffer(buf.as_py(), dtype=np.uint8),
