@@ -172,19 +172,52 @@ def probe_curation(n_docs: int) -> dict:
     }
 
 
+def probe_decontaminate(n_docs: int) -> dict:
+    """Bloom-pre-filtered vs plain broadcast-set decontamination at scale
+    (blocklist = doc_id % 97 == 0 → n_docs/97 entries). Evidence that the
+    bloom path holds its envelope and matches the plain row count."""
+    from node_shovel_ray.pipelines import corpus
+
+    docs_dir = os.path.join(PROBE_DIR, f"docs_{n_docs}")
+    gen_documents(docs_dir, n_docs)
+    out: dict = {"rows_in": n_docs, "n_blocklist": n_docs // 97 + 1}
+    for name, fn in (
+        ("bloom", corpus.decontaminate_bloom_docs),
+        ("plain", corpus.decontaminate_docs),
+    ):
+        t0 = time.time()
+        with StoreSampler() as samp:
+            n = fn(docs_dir).count()
+        sec = time.time() - t0
+        out[name] = {
+            "rows_out": int(n), "sec": round(sec, 1),
+            "rows_per_s": int(n_docs / sec),
+            "peak_object_store_gb": round(samp.peak_used / 2**30, 2),
+        }
+    out["rows_match"] = out["bloom"]["rows_out"] == out["plain"]["rows_out"]
+    return out
+
+
+PROBES = {
+    "flagship": lambda nc, nd: probe_flagship(nc),
+    "curation": lambda nc, nd: probe_curation(nd),
+    "decontaminate": lambda nc, nd: probe_decontaminate(nd),
+}
+
+
 def main():
     import ray
 
-    n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 320_000
-    n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000_000
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    jobs = [a.removeprefix("--") for a in sys.argv[1:] if a.startswith("--")]
+    jobs = jobs or ["flagship", "curation"]
+    n_convs = int(args[0]) if args else 320_000
+    n_docs = int(args[1]) if len(args) > 1 else 10_000_000
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=32, include_dashboard=False,
                  logging_level="ERROR")
-    out = {
-        "flagship": probe_flagship(n_convs),
-        "curation": probe_curation(n_docs),
-        "n_convs": n_convs, "n_docs": n_docs,
-    }
+    out = {j: PROBES[j](n_convs, n_docs) for j in jobs}
+    out.update({"n_convs": n_convs, "n_docs": n_docs})
     print(json.dumps(out))
     ray.shutdown()
 
