@@ -301,7 +301,7 @@ def decontaminate_bloom_docs(sf_dir: str, bits_per_key: int = 12,
     from ..functions.bloom import bloom_from_datasets, bloom_query, default_hash64
     from ..functions.textstats import normalize_text
     from ..stages.join import hash_join
-    from ..stages.keyed import keyed_map_blocks
+    from ..stages.keyed import default_num_blocks, keyed_map_blocks
 
     _hash = default_hash64
 
@@ -313,11 +313,17 @@ def decontaminate_bloom_docs(sf_dir: str, bits_per_key: int = 12,
         return norm(t.filter(pc.equal(m, 0)))
 
     # blocklist side: filtered read (only ~1% of rows normalized), small,
-    # reused three times (count, filter build, exact verify) → materialize
+    # reused three times (count, filter build, exact verify) → materialize.
+    # Coalesce first: the filter leaves one ~1%-sliver block PER READ TASK
+    # (hundreds of tiny blocks at 10M docs), and a sort exchange launches
+    # input_blocks × partitions tasks — measured 68 s of pure task overhead
+    # on the verify join before coalescing, ~3 s after.
+    nb = max(8, default_num_blocks() // 8)
     bench = (
         _docs(sf_dir, ["doc_id", "text"])
         .map_batches(bench_norm, batch_format="pyarrow", zero_copy_batch=True)
         .select_columns(["text_norm"])
+        .repartition(nb)
         .materialize()
     )
     bf = bloom_from_datasets(
@@ -358,17 +364,22 @@ def decontaminate_bloom_docs(sf_dir: str, bits_per_key: int = 12,
         return t.filter(t["maybe"]).select(["doc_id", "text_norm"])
 
     keep = reduced.map_batches(negatives, batch_format="pyarrow")
-    pos = reduced.map_batches(positives, batch_format="pyarrow")
+    # positives are a sliver of the corpus → same tiny-block coalesce
+    pos = reduced.map_batches(positives, batch_format="pyarrow").repartition(nb)
 
     # exact verify: anti join the sliver against the distinct blocklist
     def distinct(df: pd.DataFrame) -> pd.DataFrame:
         return df.drop_duplicates("text_norm")
 
-    bench_marked = keyed_map_blocks(bench, ["text_norm"], distinct).map_batches(
+    bench_marked = keyed_map_blocks(
+        bench, ["text_norm"], distinct, num_blocks=nb
+    ).map_batches(
         lambda t: t.append_column("_bench", pa.array(np.ones(len(t), np.int8))),
         batch_format="pyarrow",
     )
-    joined = hash_join(pos, bench_marked, left_on="text_norm", how="left")
+    joined = hash_join(
+        pos, bench_marked, left_on="text_norm", how="left", num_blocks=2 * nb
+    )
     fps = joined.map_batches(
         lambda t: t.filter(pc.is_null(t["_bench"])).select(["doc_id"]),
         batch_format="pyarrow",
