@@ -347,8 +347,23 @@ def ngram_jaccard(
 
         return pairs.map_batches(verify, batch_format="pandas")
 
-    joined = _attach_text(pairs, cand_texts, "doc_a", "_text_a", id_col, column)
-    joined = _attach_text(joined, cand_texts, "doc_b", "_text_b", id_col, column)
+    from ..stages.keyed import default_num_blocks
+
+    # candidates are a sliver of the corpus: (a) coalesce the one-sliver-
+    # block-per-read-task layout before any keyed exchange (a sort
+    # exchange launches input_blocks × partitions tasks — see CLAUDE.md),
+    # (b) materialize once since BOTH joins read it (lazy would re-run
+    # the corpus filter per join)
+    nb = max(8, default_num_blocks() // 8)
+    cand_small = cand_texts.repartition(nb).materialize()
+    joined = _attach_text(
+        pairs.repartition(nb), cand_small, "doc_a", "_text_a", id_col,
+        column, num_blocks=2 * nb,
+    )
+    joined = _attach_text(
+        joined, cand_small, "doc_b", "_text_b", id_col, column,
+        num_blocks=2 * nb,
+    )
     return joined.map_batches(
         lambda b: jaccard_frame(b, "_text_a", "_text_b"), batch_format="pandas"
     )
@@ -417,6 +432,7 @@ def _attach_text(
     out_col: str,
     id_col: str,
     column: str,
+    num_blocks: int | None = None,
 ) -> "ray.data.Dataset":
     """Distributed hash-join: attach ``texts[column]`` onto ``pairs`` rows by
     ``pairs[key_col] == texts[id_col]``.
@@ -476,7 +492,7 @@ def _attach_text(
             out.drop(columns=["_jk"]), schema=out_schema, preserve_index=False
         )
 
-    return keyed_map_blocks(u, ["_jk"], merge)
+    return keyed_map_blocks(u, ["_jk"], merge, num_blocks=num_blocks)
 
 
 def _arrow_types(ds: "ray.data.Dataset") -> dict:
