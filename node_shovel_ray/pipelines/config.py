@@ -418,6 +418,78 @@ def _pl_pack(o):
     )
 
 
+@register("pipeline", "dedup")
+def _pl_dedup(o):
+    """Exact dedup: keep the min-id row per identical key value."""
+    from ..functions.dedup import dedup_exact
+
+    return lambda ds: dedup_exact(
+        ds, key_col=o.get("key", "text"), id_col=o.get("id_col", "doc_id")
+    )
+
+
+@register("pipeline", "shuffle")
+def _pl_shuffle(o):
+    """Deterministic seeded corpus shuffle → (id, shuffle_rank)."""
+    from ..functions.shuffle import deterministic_shuffle
+
+    return lambda ds: deterministic_shuffle(
+        ds, id_col=o.get("id_col", "doc_id"), seed=str(o.get("seed", "shuf42"))
+    )
+
+
+@register("pipeline", "textstats")
+def _pl_textstats(o):
+    """Per-doc text signals: which = tokens | quality | langid | pii."""
+    from ..functions import textstats as T
+
+    fns = {
+        "tokens": T.token_count,
+        "quality": T.quality_score,
+        "langid": T.lang_id,
+        "pii": T.pii_stats,
+    }
+    which = o.get("which", "tokens")
+    if which not in fns:
+        raise ValueError(f"textstats 'which' must be one of {sorted(fns)}")
+    fn = fns[which]
+    col = o.get("column", "text")
+    return lambda ds: ds.map_batches(
+        lambda t: fn(t, column=col), batch_format="pyarrow"
+    )
+
+
+@register("pipeline", "decontaminate")
+def _pl_decontaminate(o):
+    """Drop rows whose NORMALIZED text matches a blocklist parquet column
+    (broadcast anti filter — corpus streams, blocklist ships once)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ..functions.textstats import normalize_text
+
+    col = o.get("column", "text")
+    bcol = o.get("block_column", col)
+
+    def fn(ds):
+        bt = pq.read_table(o["path"], columns=[bcol])
+        bt = normalize_text(bt, column=bcol, out="_bn")
+        block = pa.array(
+            sorted({v for v in bt["_bn"].to_pylist() if v is not None}),
+            pa.string(),
+        )
+
+        def anti(t: pa.Table) -> pa.Table:
+            t2 = normalize_text(t, column=col, out="_tn")
+            hit = pc.fill_null(pc.is_in(t2["_tn"], value_set=block), False)
+            return t.filter(pc.invert(hit))
+
+        return ds.map_batches(anti, batch_format="pyarrow")
+
+    return fn
+
+
 @register("pipeline", "join")
 def _pl_join(o):
     """Distributed hash join against another table (parquet path)."""

@@ -284,3 +284,47 @@ def test_tail_input_commits_after_sink(ray_session, tmp_path):
     build(cfg(out2))()
     b = pq.read_table(str(out2)).to_pandas()
     assert b["line"].tolist() == ["l3"] and b["line_no"].tolist() == [2]
+
+
+def test_corpus_ops_registry(tmp_path):
+    """r4 registry ops: dedup / shuffle / textstats / decontaminate chain
+    over a tiny documents table + parquet blocklist."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from node_shovel_ray.pipelines.config import PipelineConfig, build
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+            "text": pa.array(["dup text", "dup text", "keep me", "BLOCKED  one", "other"]),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "docs.parquet"))
+    pq.write_table(
+        pa.table({"text": pa.array(["blocked one"])}),
+        str(tmp_path / "block.parquet"),
+    )
+
+    def run(stages):
+        cfg = PipelineConfig.from_dict(
+            {
+                "name": "t",
+                "input": {"use": "parquet", "options": {"path": str(tmp_path / "docs.parquet")}},
+                "pipeline": {"use": "chain", "options": {"stages": stages}},
+                "output": {"use": "dataset"},
+            }
+        )
+        return build(cfg)().to_pandas()
+
+    out = run([{"use": "decontaminate", "options": {"path": str(tmp_path / "block.parquet")}}])
+    assert sorted(out["doc_id"]) == [0, 1, 2, 4]  # normalized match dropped
+
+    out = run([{"use": "dedup", "options": {}}])
+    assert sorted(out["keep_id" if "keep_id" in out else "doc_id"]) == [0, 2, 3, 4]
+
+    out = run([{"use": "shuffle", "options": {"seed": "s1"}}])
+    assert sorted(out["shuffle_rank"]) == [0, 1, 2, 3, 4]
+
+    out = run([{"use": "textstats", "options": {"which": "tokens"}}])
+    assert out.set_index("doc_id")["n_tokens"][3] == 2
