@@ -189,6 +189,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crossdoc_gram_docs": corpus.crossdoc_gram_docs,
         # deterministic seeded corpus shuffle (reproducible epoch order; r4)
         "shuffle_docs": corpus.shuffle_docs,
+        # duplicated-span coverage (span-granularity dedup measure; r4)
+        "dupspan_docs": corpus.dupspan_docs,
         # deterministic train/val/test assignment (r3)
         "split_docs": corpus.split_docs,
         # corpus-trained unigram-LM quality scoring (KenLM-filter shape, r3)
@@ -490,6 +492,40 @@ def oracle_sql() -> dict[str, str]:
                         ELSE round(coalesce(p.n_common, 0) * 1.0
                                    / p.n_grams, 4) END AS common_ratio
             FROM toks t LEFT JOIN per p USING (doc_id)
+        """,
+        "dupspan_docs": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                list_filter(string_split_regex(text, '[ \t\n\r\f\v]+'),
+                            x -> x <> '') AS tk
+              FROM documents
+            ), grams AS (
+              SELECT doc_id,
+                unnest(list_transform(range(1, greatest(len(tk) - 4, 0) + 1),
+                       i -> {'i': i,
+                             'g': array_to_string(tk[i:i+4], ' ')})) AS ig
+              FROM toks
+            ), g2 AS (
+              SELECT doc_id, ig.i AS i, ig.g AS g FROM grams
+            ), df AS (
+              SELECT g, count(DISTINCT doc_id) AS df FROM g2 GROUP BY g
+            ), common AS (
+              SELECT g FROM df WHERE df >= 2
+            ), cov AS (
+              SELECT doc_id, count(DISTINCT idx) AS n_covered
+              FROM (
+                SELECT doc_id, unnest(range(i, i + 5)) AS idx
+                FROM g2 WHERE g IN (SELECT g FROM common)
+              )
+              GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   CAST(len(tk) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(c.n_covered, 0) AS BIGINT) AS n_covered,
+                   CASE WHEN len(tk) = 0 THEN 0.0
+                        ELSE round(coalesce(c.n_covered, 0) * 1.0
+                                   / len(tk), 4) END AS dup_span_frac
+            FROM toks t LEFT JOIN cov c USING (doc_id)
         """,
         "shuffle_docs": r"""
             WITH h AS (

@@ -528,6 +528,105 @@ def crossdoc_gram_docs(sf_dir: str, n: int = 3, min_df: int = 2,
     return docs.map_batches(score, batch_format="pyarrow")
 
 
+def dupspan_docs(sf_dir: str, L: int = 5, min_df: int = 2) -> "rd.Dataset":
+    """Duplicated-span coverage (the "Deduplicating Training Data"
+    span-granularity measure): per doc, the fraction of its TOKENS lying
+    inside at least one exact L-token span that occurs in ≥ ``min_df``
+    distinct documents. Complements :func:`crossdoc_gram_docs` (which
+    counts gram positions) by unioning overlapping spans into covered
+    token intervals — the quantity a span-level deduper would remove.
+
+    Same scale shape as crossdoc: distinct (doc, span) block partials →
+    one tiny (span, block) exchange → broadcast heavy-hitter set →
+    streaming coverage pass. Coverage is a vectorized difference array
+    over the batch's flat token space (+1 at each common-span start, −1
+    past its end, cumsum > 0 = covered), never a per-doc Python loop.
+    """
+    import re
+
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    ws_re = re.compile(r"[ \t\n\r\f\v]+")
+
+    def spans_of(texts):
+        """(flat span strings, per-doc span offsets, per-doc token counts)."""
+        grams: list[str] = []
+        offs = [0]
+        ntoks = []
+        for txt in texts:
+            toks = [x for x in ws_re.split(txt or "") if x]
+            ntoks.append(len(toks))
+            if len(toks) >= L:
+                grams.extend(
+                    " ".join(toks[i : i + L]) for i in range(len(toks) - L + 1)
+                )
+            offs.append(len(grams))
+        return grams, np.asarray(offs, np.int64), np.asarray(ntoks, np.int64)
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        grams, offs, _ = spans_of(t["text"].to_pylist())
+        seg = np.repeat(t["doc_id"].to_numpy(), np.diff(offs))
+        part = (
+            pd.DataFrame({"g": grams, "d": seg})
+            .drop_duplicates()
+            .groupby("g", sort=False)
+            .size()
+            .reset_index(name="df")
+        )
+        return pa.table(
+            {"g": pa.array(part["g"], pa.string()),
+             "df": pa.array(part["df"].to_numpy(np.int64))}
+        )
+
+    gram_df = (
+        docs.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("g")
+        .aggregate(Sum("df", alias_name="df"))
+    )
+    common = pa.array(
+        sorted(r["g"] for r in gram_df.filter(expr=f"df >= {min_df}").take_all()),
+        pa.string(),
+    )
+
+    def cover(t: pa.Table) -> pa.Table:
+        grams, offs, ntoks = spans_of(t["text"].to_pylist())
+        nd = len(t)
+        gram_counts = np.diff(offs)
+        tok_off = np.concatenate([[0], np.cumsum(ntoks)])
+        total = int(tok_off[-1])
+        n_cov = np.zeros(nd, dtype=np.int64)
+        if grams and total:
+            hit = pc.is_in(pa.array(grams, pa.string()), value_set=common)
+            hit = hit.to_numpy(zero_copy_only=False).astype(bool)
+            seg = np.repeat(np.arange(nd, dtype=np.int64), gram_counts)
+            local = np.arange(len(grams), dtype=np.int64) - offs[seg]
+            starts = (tok_off[seg] + local)[hit]
+            if len(starts):
+                diff = np.zeros(total + L + 1, dtype=np.int64)
+                np.add.at(diff, starts, 1)
+                np.add.at(diff, starts + L, -1)
+                covered = np.cumsum(diff[:total]) > 0
+                tok_doc = np.repeat(np.arange(nd, dtype=np.int64), ntoks)
+                n_cov = np.bincount(
+                    tok_doc[covered], minlength=nd
+                ).astype(np.int64)
+        frac = np.where(ntoks > 0, n_cov / np.maximum(ntoks, 1), 0.0)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": pa.array(ntoks),
+                "n_covered": pa.array(n_cov),
+                # half-away rounding to match DuckDB (frac >= 0)
+                "dup_span_frac": pa.array(np.floor(frac * 1e4 + 0.5) / 1e4),
+            }
+        )
+
+    return docs.map_batches(cover, batch_format="pyarrow")
+
+
 def shuffle_docs(sf_dir: str, seed: str = "shuf42") -> "rd.Dataset":
     """Deterministic seeded corpus shuffle: every doc's 0-based position
     in the reproducible global training order (functions/shuffle.py —
