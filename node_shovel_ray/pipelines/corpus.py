@@ -463,7 +463,12 @@ def crossdoc_gram_docs(sf_dir: str, n: int = 3, min_df: int = 2,
 
     def gram_key(grams: list[str]):
         if hashed:
-            return default_hash64(np.array(grams, dtype=object))
+            # int64 REINTERPRET of the 64-bit hash: the gram key is a
+            # groupby key, and Ray's sort-boundary sampling round-trips
+            # key samples through Python lists → Arrow int64 inference,
+            # which overflows on uint64 values above 2^63 (observed at
+            # 10M docs). Same uniqueness, sort-safe.
+            return default_hash64(np.array(grams, dtype=object)).view(np.int64)
         return grams
 
     def df_partial(t: pa.Table) -> pa.Table:
@@ -477,7 +482,7 @@ def crossdoc_gram_docs(sf_dir: str, n: int = 3, min_df: int = 2,
             .reset_index(name="df")
         )
         key_arr = (
-            pa.array(part["gram"].to_numpy(np.uint64), pa.uint64())
+            pa.array(part["gram"].to_numpy(np.int64), pa.int64())
             if hashed
             else pa.array(part["gram"], pa.string())
         )
@@ -496,7 +501,7 @@ def crossdoc_gram_docs(sf_dir: str, n: int = 3, min_df: int = 2,
             r["gram"]
             for r in gram_df.filter(expr=f"df >= {min_df}").take_all()
         ),
-        pa.uint64() if hashed else pa.string(),
+        pa.int64() if hashed else pa.string(),
     )
 
     def score(t: pa.Table) -> pa.Table:
@@ -504,7 +509,7 @@ def crossdoc_gram_docs(sf_dir: str, n: int = 3, min_df: int = 2,
         n_grams = np.diff(offs)
         keys = gram_key(grams)
         key_arr = (
-            pa.array(keys, pa.uint64()) if hashed
+            pa.array(keys, pa.int64()) if hashed
             else pa.array(keys, pa.string())
         )
         hit = pc.is_in(key_arr, value_set=common)

@@ -198,10 +198,33 @@ def probe_decontaminate(n_docs: int) -> dict:
     return out
 
 
+def probe_crossdoc(n_docs: int) -> dict:
+    """The round's one true all-to-all: per-gram document frequency over
+    every trigram of the corpus (~56 grams/doc → ~0.56B (gram, block)
+    partial rows at 10M docs). Runs the hashed-exchange variant — the
+    100 TB path — and records wall + peak store + spill."""
+    from node_shovel_ray.pipelines import corpus
+
+    docs_dir = os.path.join(PROBE_DIR, f"docs_{n_docs}")
+    gen_documents(docs_dir, n_docs)
+    t0 = time.time()
+    with StoreSampler() as samp:
+        n = corpus.crossdoc_gram_docs(docs_dir, hashed=True).count()
+    sec = time.time() - t0
+    return {
+        "rows_in": n_docs, "rows_out": int(n), "sec": round(sec, 1),
+        "rows_per_s": int(n_docs / sec),
+        "peak_object_store_gb": round(samp.peak_used / 2**30, 2),
+        "store_total_gb": round(samp.total / 2**30, 2),
+        "spilled_mb": spilled_mb(),
+    }
+
+
 PROBES = {
     "flagship": lambda nc, nd: probe_flagship(nc),
     "curation": lambda nc, nd: probe_curation(nd),
     "decontaminate": lambda nc, nd: probe_decontaminate(nd),
+    "crossdoc": lambda nc, nd: probe_crossdoc(nd),
 }
 
 
