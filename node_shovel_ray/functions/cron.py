@@ -53,7 +53,10 @@ def _parse_field(text: str, lo: int, hi: int, names: dict) -> tuple[frozenset, b
             raise ValueError(f"cron field value {v} outside {lo}-{hi}")
         return v
 
-    star = text == "*"
+    # vixie cron sets the DOM_STAR/DOW_STAR flag when the field BEGINS with
+    # '*' (so "*/2" counts as star for the dom/dow OR rule), not only when
+    # it is exactly "*"
+    star = text.startswith("*")
     out: set[int] = set()
     for part in text.split(","):
         step = 1
@@ -97,13 +100,13 @@ def _day_matches(spec: CronSpec, d: datetime) -> bool:
     cron_dow = (d.weekday() + 1) % 7
     dom_ok = d.day in spec.dom
     dow_ok = cron_dow in spec.dow
-    if spec.dom_star and spec.dow_star:
-        return True
-    if spec.dom_star:
-        return dow_ok
-    if spec.dow_star:
-        return dom_ok
-    return dom_ok or dow_ok  # both restricted → vixie OR rule
+    # published vixie rule: if EITHER field begins with '*' (its star flag
+    # set), the day must satisfy BOTH; only when both are fully restricted
+    # does the OR rule apply. A plain '*' makes its _ok always true, so
+    # this reduces to the familiar special cases.
+    if spec.dom_star or spec.dow_star:
+        return dom_ok and dow_ok
+    return dom_ok or dow_ok
 
 
 def next_fire(spec: CronSpec | str, after: datetime) -> datetime:

@@ -128,7 +128,10 @@ def mixture_sample(
 
     def keep(df: pd.DataFrame) -> pd.DataFrame:
         h = _hash_ids(df[id_col].to_numpy(), hash_fn)
-        thr = df[group_col].map(cut).fillna(dflt)  # object dtype: exact ints
+        # dict-default map, NOT map(cut).fillna(dflt): a group absent from
+        # ``rates`` would make map() emit NaN and silently float64 the whole
+        # Series — the exact float64 round-trip this code must avoid
+        thr = df[group_col].map(lambda g: cut.get(g, dflt))  # object: exact ints
         keep_all = (thr == _FULL).to_numpy()
         thr_u = np.where(keep_all, 0, thr.to_numpy()).astype(np.uint64)
         return df[keep_all | (h < thr_u)]

@@ -585,6 +585,15 @@ def _enc_b64(o):
 
 # outputs ------------------------------------------------------------------
 
+# sink names that fully CONSUME the dataset when called (write_* / count):
+# only these may auto-commit a stateful source's offsets afterwards; lazy
+# sinks ("dataset" returns an unexecuted plan, "stdout" reads only `limit`
+# rows) must materialize first or the at-least-once contract breaks —
+# offsets would advance past bytes nothing has processed yet
+EAGER_OUTPUTS = frozenset(
+    {"parquet", "json", "csv", "jsonl", "partitioned_parquet", "blackhole"}
+)
+
 
 @register("output", "parquet")
 def _out_parquet(o):
@@ -727,10 +736,15 @@ def build(cfg: PipelineConfig, capture: dict | None = None):
         if capture is not None:
             capture["dataset"] = ds
         if multi is None:
+            # sources with progress state (input: tail) commit offsets only
+            # AFTER the bytes were actually processed. Eager sinks consume
+            # the dataset themselves; a lazy sink (dataset/stdout) would let
+            # commit() run on an unexecuted plan, so force execution first.
+            stateful = hasattr(source, "commit")
+            if stateful and cfg.output.get("use", "dataset") not in EAGER_OUTPUTS:
+                ds = ds.materialize()
             out = sink(ds)
-            # sources with progress state (input: tail) commit it only
-            # after the sink succeeded
-            if hasattr(source, "commit"):
+            if stateful:
                 source.commit()
             return out
         # multi-output: materialize once so sinks don't recompute upstream

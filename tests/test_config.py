@@ -286,6 +286,52 @@ def test_tail_input_commits_after_sink(ray_session, tmp_path):
     assert b["line"].tolist() == ["l3"] and b["line_no"].tolist() == [2]
 
 
+def test_tail_lazy_sink_materializes_before_commit(ray_session, tmp_path):
+    # ADVICE r4: with a LAZY sink (output: dataset) the tail offsets must
+    # not advance until the bytes were actually processed — a failure in a
+    # lazy downstream stage used to commit first and silently drop lines
+    from node_shovel_ray.pipelines.config import register
+    from node_shovel_ray.sources.tail import load_offsets
+
+    if "boom_test" not in __import__(
+        "node_shovel_ray.pipelines.config", fromlist=["REGISTRY"]
+    ).REGISTRY["pipeline"]:
+        @register("pipeline", "boom_test")
+        def _boom(o):
+            def fail(t):
+                raise RuntimeError("boom")
+
+            return lambda ds: ds.map_batches(fail, batch_format="pyarrow")
+
+    watch = tmp_path / "logs"
+    watch.mkdir()
+    f = watch / "app.log"
+    f.write_bytes(b"l1\n")
+    state = tmp_path / "state"
+
+    def cfg(pipeline="noop"):
+        return PipelineConfig.from_dict(
+            {
+                "name": "tailer",
+                "input": {"use": "tail", "options": {
+                    "path": str(watch), "state_dir": str(state)}},
+                "pipeline": {"use": pipeline},
+                "output": {"use": "dataset"},
+            }
+        )
+
+    with pytest.raises(Exception):
+        build(cfg("boom_test"))()  # fails DURING the forced materialize
+    # offsets NOT committed → the failed lines replay next tick
+    assert load_offsets(str(state)).get(str(f), {}).get("offset", 0) == 0
+
+    out = build(cfg())()
+    assert out.count() == 1  # lazy sink was materialized inside run()
+    assert load_offsets(str(state))[str(f)]["offset"] == len(b"l1\n")
+    # nothing new → next tick sees zero rows
+    assert build(cfg())().count() == 0
+
+
 def test_corpus_ops_registry(tmp_path):
     """r4 registry ops: dedup / shuffle / textstats / decontaminate chain
     over a tiny documents table + parquet blocklist."""

@@ -39,6 +39,17 @@ def test_steps_with_range_and_lists():
     assert sorted(s.hour) == [1, 13]
 
 
+def test_stepped_dom_keeps_star_flag():
+    # ADVICE r4: vixie sets DOM_STAR when the field BEGINS with '*', so
+    # "0 0 */2 * 1" = Mondays whose day-of-month is odd (AND, not OR).
+    s = parse_cron("0 0 */2 * 1")
+    assert s.dom_star and not s.dow_star
+    # Mar 16 2026 is a Monday but an even day → skipped; Mar 23 is odd
+    assert next_fire("0 0 */2 * 1", T0) == datetime(2026, 3, 23)
+    # both fields fully restricted → vixie OR rule still applies
+    assert next_fire("0 0 15 * 1", T0) == datetime(2026, 3, 15)
+
+
 def test_month_rollover():
     # only fires in December → jumps months, then years
     assert next_fire("5 4 2 12 *", T0) == datetime(2026, 12, 2, 4, 5)

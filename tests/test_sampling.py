@@ -93,6 +93,14 @@ def test_mixture_sample_rates_and_monotonicity(ray_session):
     ).to_pandas()
     hi_ids = set(got[got["src"] == "s1"]["doc_id"])
     assert set(lo["doc_id"]) <= hi_ids
+    # ADVICE r4: an absent group must not float64 the cutoff Series —
+    # default_rate=1.0 (the exact 2⁶⁴ sentinel) keeps EVERY absent-group
+    # row even though 2⁶⁴ survives a float round-trip only by accident
+    all_s2 = mixture_sample(
+        rd.from_arrow(t), {"s0": 0.5}, group_col="src", id_col="doc_id",
+        default_rate=1.0,
+    ).to_pandas()
+    assert (all_s2.groupby("src").size()[["s1", "s2"]] == n // 3).all()
 
 
 def test_sample_per_group_layout_independent(ray_session):
