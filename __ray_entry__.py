@@ -120,7 +120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return sink_counts(_routed(sf_dir))
 
-    return {
+    q = {
         # flagship transcript DAG (oracle-checked end to end)
         "transcriptify": q_transcripts,
         "parse": q_parse,
@@ -205,6 +205,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_image_stats": media.media_image_stats,
         "media_audio_stats": media.media_audio_stats,
         "media_frame_stats": media.media_frame_stats,
+    }
+    # the driver's correctness gate samples the FIRST entries; r4's artifact
+    # stopped at 50, leaving these 12 judge-verified-only — front-load them
+    # so CORRECTNESS_r05 records a driver-confirmed row for every name
+    front = [
+        "repetition_docs", "contaminated_docs", "crossdoc_gram_docs",
+        "shuffle_docs", "dupspan_docs", "split_docs", "unigram_logprob_docs",
+        "mixture_docs", "pii_stats_docs", "media_image_stats",
+        "media_audio_stats", "media_frame_stats",
+    ]
+    return {
+        **{k: q[k] for k in front},
+        **{k: v for k, v in q.items() if k not in front},
     }
 
 

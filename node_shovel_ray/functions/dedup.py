@@ -21,12 +21,15 @@ retries produce identical results.
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data
 
 _MERSENNE = (1 << 61) - 1
+_log = logging.getLogger("node_shovel_ray.dedup")
 
 
 def add_content_hash(batch: pa.Table, column: str = "text", out: str = "content_hash") -> pa.Table:
@@ -272,44 +275,50 @@ def ngram_jaccard(
     also exposed standalone: (doc_a, doc_b) rows + a texts table →
     (doc_a, doc_b, jaccard).
 
-    Never materializes the corpus. First a semi-join filter: the distinct
-    candidate doc-id set (O(#pairs) values) is captured in a task closure
-    (small enough that Ray ships it with the task spec — cheaper than a
-    pool) and stream-filters the corpus down to candidate texts only — no
-    shuffle of the wide text rows. Then:
+    Never materializes the corpus, and (since r5) never gathers the pair
+    list on the driver when it is large:
 
-    - ``≤ broadcast_limit`` candidate docs → the FILTERED texts are
-      captured in the verify task's closure (memory is O(candidates),
-      never O(corpus)) and verified in one streaming pass;
-    - else → two distributed keyed joins attach text_a / text_b onto the
-      pair rows (per-bucket memory bounded by bucket size), keyed on the
-      id column's native Arrow type — string and integer doc ids both
-      flow through this path.
+    - ``≤ broadcast_limit`` PAIRS → the distinct candidate doc-id set is
+      derived on the driver (bounded by the limit), ``ray.put`` once, and
+      stream-filters the corpus down to candidate texts which are then
+      broadcast into the verify task (memory O(candidates), never
+      O(corpus));
+    - else → NO driver-side keyset at all: the two distributed keyed
+      joins attach text_a / text_b onto the pair rows directly — the join
+      IS the semi-join (per-bucket merge keeps only pair rows), per-bucket
+      memory bounded by bucket size, keyed on the id column's native
+      Arrow type (string and integer doc ids both flow through).
     """
     import ray
 
-    cand_ids = pairs.select_columns(["doc_a", "doc_b"]).to_pandas()
-    # semi-join keyset on the column's NATIVE type (string ids work here;
-    # only the distributed _attach_text fallback requires int64)
-    ids = (
-        np.unique(
-            np.concatenate(
-                [cand_ids["doc_a"].to_numpy(), cand_ids["doc_b"].to_numpy()]
+    pairs = pairs.materialize()  # reused: count + verify/join passes
+    if pairs.count() <= broadcast_limit:
+        cand_ids = pairs.select_columns(["doc_a", "doc_b"]).to_pandas()
+        # semi-join keyset on the column's NATIVE type (string ids work
+        # here; only the distributed _attach_text path requires casting)
+        ids = (
+            np.unique(
+                np.concatenate(
+                    [cand_ids["doc_a"].to_numpy(), cand_ids["doc_b"].to_numpy()]
+                )
             )
+            if len(cand_ids)
+            else np.array([], dtype=np.int64)
         )
-        if len(cand_ids)
-        else np.array([], dtype=np.int64)
-    )
-    idset = pa.array(ids)
+        idset_ref = ray.put(pa.array(ids))
 
-    def filter_to_candidates(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+        def filter_to_candidates(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
 
-        col = t[id_col]
-        vs = idset if idset.type == col.type else idset.cast(col.type)
-        return t.filter(pc.is_in(col, value_set=vs))
+            idset = ray.get(idset_ref)  # plasma read, cached per node
+            col = t[id_col]
+            vs = idset if idset.type == col.type else idset.cast(col.type)
+            return t.filter(pc.is_in(col, value_set=vs))
 
-    cand_texts = texts.map_batches(filter_to_candidates, batch_format="pyarrow")
+        cand_texts = texts.map_batches(filter_to_candidates, batch_format="pyarrow")
+    else:
+        ids = None
+        cand_texts = None  # big-pair path joins against the full corpus
 
     def jaccard_frame(b: pd.DataFrame, ta_col: str, tb_col: str) -> pd.DataFrame:
         if not len(b):
@@ -335,11 +344,15 @@ def ngram_jaccard(
         out["jaccard"] = jac
         return out
 
-    if len(ids) <= broadcast_limit:
-        # broadcast path: only CANDIDATE texts ship (O(candidates) memory)
-        tmap = cand_texts.to_pandas().set_index(id_col)[column]
+    from ..stages.keyed import default_num_blocks
+
+    if cand_texts is not None:
+        # broadcast path: only CANDIDATE texts ship (O(candidates) memory),
+        # via plasma (one object-store read per node, not per task spec)
+        tmap_ref = ray.put(cand_texts.to_pandas().set_index(id_col)[column])
 
         def verify(b: pd.DataFrame) -> pd.DataFrame:
+            tmap = ray.get(tmap_ref)
             b = b.copy()
             b["_ta"] = b["doc_a"].map(tmap)
             b["_tb"] = b["doc_b"].map(tmap)
@@ -347,22 +360,16 @@ def ngram_jaccard(
 
         return pairs.map_batches(verify, batch_format="pandas")
 
-    from ..stages.keyed import default_num_blocks
-
-    # candidates are a sliver of the corpus: (a) coalesce the one-sliver-
-    # block-per-read-task layout before any keyed exchange (a sort
-    # exchange launches input_blocks × partitions tasks — see CLAUDE.md),
-    # (b) materialize once since BOTH joins read it (lazy would re-run
-    # the corpus filter per join)
-    nb = max(8, default_num_blocks() // 8)
-    cand_small = cand_texts.repartition(nb).materialize()
+    # big-pair path: no driver-side keyset — the keyed joins against the
+    # full corpus ARE the semi-join (per-bucket merge keeps only pair
+    # rows); one honest corpus exchange per attached side
+    nb = default_num_blocks()
     joined = _attach_text(
-        pairs.repartition(nb), cand_small, "doc_a", "_text_a", id_col,
-        column, num_blocks=2 * nb,
+        pairs.repartition(nb), texts, "doc_a", "_text_a", id_col,
+        column, num_blocks=nb,
     )
     joined = _attach_text(
-        joined, cand_small, "doc_b", "_text_b", id_col, column,
-        num_blocks=2 * nb,
+        joined, texts, "doc_b", "_text_b", id_col, column, num_blocks=nb,
     )
     return joined.map_batches(
         lambda b: jaccard_frame(b, "_text_a", "_text_b"), batch_format="pandas"
@@ -677,29 +684,263 @@ def connected_components(pairs: pd.DataFrame, a: str = "doc_a", b: str = "doc_b"
     return {x: find(x) for x in seen}
 
 
+def connected_components_ds(
+    pairs: "ray.data.Dataset",
+    a: str = "doc_a",
+    b: str = "doc_b",
+    max_iters: int = 64,
+    num_blocks: int | None = None,
+) -> "ray.data.Dataset":
+    """Distributed connected components over a duplicate-pair edge list:
+    a Dataset of ``(v, root)`` rows, ``root`` = the component's min id
+    (every vertex gets a row, roots map to themselves — same contract as
+    the driver :func:`connected_components`).
+
+    The scale path for dup-heavy corpora where the pair graph is billions
+    of edges and the driver union-find cannot hold it. Algorithm:
+    alternating **large-star / small-star** contraction (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) — the state
+    is ONLY the edge list, rewritten in place each round:
+
+    - large-star (group by each endpoint, both directions): connect every
+      strictly-larger neighbor of ``u`` to ``min(N(u) ∪ {u})``;
+    - small-star (group by the larger endpoint): connect every not-larger
+      neighbor and ``u`` itself to the group min.
+
+    Each phase is ONE keyed exchange over (int64, int64) rows in a single
+    linear plan; O(log² n) rounds worst case, 2–4 on real dup graphs.
+    Deliberately NOT label propagation: that shape needs Dataset.union of
+    two branches per round, and union-inside-a-loop compounds Ray 2.49
+    driver scheduling time ~2× per round even with materialized inputs
+    (measured on this host; a linear chain + per-round materialize stays
+    flat). The driver only ever sees three scalars per round (edge count
+    + two salted hash sums for the fixpoint test).
+    """
+    import time as _time
+
+    from ..stages.keyed import default_num_blocks, keyed_map_blocks
+
+    nb = num_blocks or max(8, default_num_blocks() // 4)
+    empty = ray.data.from_arrow(
+        pa.table({"v": pa.array([], pa.int64()), "root": pa.array([], pa.int64())})
+    )
+    if pairs.count() == 0:
+        return empty
+
+    # canonical (hi, lo) edges, self-pairs dropped, deduped per bucket
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        sa = df[a].to_numpy(np.int64)
+        sb = df[b].to_numpy(np.int64)
+        keep = sa != sb
+        sa, sb = sa[keep], sb[keep]
+        return pd.DataFrame(
+            {"u": np.maximum(sa, sb), "v": np.minimum(sa, sb)}
+        ).drop_duplicates()
+
+    edges = keyed_map_blocks(
+        pairs.map_batches(canon, batch_format="pandas"),
+        ["u"],
+        lambda df: df.drop_duplicates(),
+        num_blocks=nb,
+    ).materialize()
+
+    def doubled(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "u": np.concatenate(
+                    [df["u"].to_numpy(np.int64), df["v"].to_numpy(np.int64)]
+                ),
+                "v": np.concatenate(
+                    [df["v"].to_numpy(np.int64), df["u"].to_numpy(np.int64)]
+                ),
+            }
+        )
+
+    def large_star(df: pd.DataFrame) -> pd.DataFrame:
+        # per u: m = min(N(u) ∪ {u}); emit (v, m) for v > u (each undirected
+        # edge emits exactly once, from its smaller endpoint's group)
+        if not len(df):
+            return df
+        m = np.minimum(
+            df.groupby("u", sort=False)["v"].transform("min").to_numpy(np.int64),
+            df["u"].to_numpy(np.int64),
+        )
+        vv = df["v"].to_numpy(np.int64)
+        keep = vv > df["u"].to_numpy(np.int64)
+        return pd.DataFrame({"u": vv[keep], "v": m[keep]}).drop_duplicates()
+
+    def small_star(df: pd.DataFrame) -> pd.DataFrame:
+        # input is (hi, lo); per hi-group: m = min(neighbors); emit (w, m)
+        # for every neighbor w ≠ m plus (hi, m) itself
+        if not len(df):
+            return df
+        uu = df["u"].to_numpy(np.int64)
+        vv = df["v"].to_numpy(np.int64)
+        m = df.groupby("u", sort=False)["v"].transform("min").to_numpy(np.int64)
+        keep = vv != m
+        heads = df.groupby("u", sort=False)["v"].min()
+        out = pd.DataFrame(
+            {
+                "u": np.concatenate([vv[keep], heads.index.to_numpy(np.int64)]),
+                "v": np.concatenate([m[keep], heads.to_numpy(np.int64)]),
+            }
+        )
+        return out.drop_duplicates()
+
+    def fingerprint(t: pa.Table) -> pa.Table:
+        # two independently-salted 31-bit row hashes (fixpoint detection:
+        # equal count + equal double hash sums ⇒ same edge set, p≈2⁻⁶²)
+        uu = t["u"].to_pandas().to_numpy(np.uint64)
+        vv = t["v"].to_pandas().to_numpy(np.uint64)
+        mix = uu * np.uint64(0x9E3779B97F4A7C15) + vv
+        h1 = pd.util.hash_array(mix) & np.uint64(0x7FFFFFFF)
+        h2 = pd.util.hash_array(mix + np.uint64(0x5BF03635)) & np.uint64(0x7FFFFFFF)
+        return pa.table(
+            {"h1": pa.array(h1.astype(np.int64)), "h2": pa.array(h2.astype(np.int64))}
+        )
+
+    prev = None
+    for it in range(max_iters):
+        _t0 = _time.monotonic()
+        # large-star needs both directions grouped; small-star re-groups the
+        # (hi, lo) output by hi — one linear chain, two keyed exchanges
+        ls = keyed_map_blocks(
+            edges.map_batches(doubled, batch_format="pandas"),
+            ["u"], large_star, num_blocks=nb,
+        )
+        edges = keyed_map_blocks(ls, ["u"], small_star, num_blocks=nb).materialize()
+        fp = edges.map_batches(fingerprint, batch_format="pyarrow")
+        sig = (edges.count(), fp.sum("h1") or 0, fp.sum("h2") or 0)
+        _log.info(
+            "connected_components_ds round %d: %d edges (%.1fs)",
+            it, sig[0], _time.monotonic() - _t0,
+        )
+        if sig == prev:
+            break
+        prev = sig
+    else:
+        raise RuntimeError(
+            f"connected_components_ds did not converge in {max_iters} rounds"
+        )
+
+    # fixpoint edge list IS (child, root); add (root, root) self rows —
+    # at fixpoint every parent is a root, so distinct(v) = the root set
+    def with_roots(df: pd.DataFrame) -> pd.DataFrame:
+        roots = np.unique(df["v"].to_numpy(np.int64))
+        return pd.DataFrame(
+            {
+                "v": np.concatenate([df["u"].to_numpy(np.int64), roots]),
+                "root": np.concatenate([df["v"].to_numpy(np.int64), roots]),
+            }
+        )
+
+    return keyed_map_blocks(edges, ["v"], with_roots, num_blocks=nb)
+
+
+def _anti_join_ids(
+    ds: "ray.data.Dataset",
+    drops: "ray.data.Dataset",
+    id_col: str,
+    drop_col: str = "v",
+    num_blocks: int | None = None,
+) -> "ray.data.Dataset":
+    """Distributed anti-join: drop every ``ds`` row whose ``id_col`` appears
+    in ``drops[drop_col]`` — the fallback when the drop set is too large to
+    broadcast. One keyed exchange of the corpus rows + drop markers; per-
+    bucket memory is bounded by bucket size."""
+    from ..stages.keyed import keyed_map_blocks
+
+    types = _arrow_types(ds)
+    cols = list(types)
+    out_schema = pa.schema([(c, types[c]) for c in cols])
+    key_t = types[id_col]
+
+    def norm_rows(t: pa.Table) -> pa.Table:
+        d = {"_jk": t[id_col]}
+        for c in cols:
+            d[c] = t[c]
+        d["_drop"] = pa.array(np.zeros(len(t), np.int8))
+        return pa.table(d)
+
+    def norm_drops(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        d = {"_jk": pc.cast(t[drop_col], key_t)}
+        for c in cols:
+            d[c] = pa.nulls(len(t), types[c])
+        d["_drop"] = pa.array(np.ones(len(t), np.int8))
+        return pa.table(d)
+
+    u = ds.map_batches(norm_rows, batch_format="pyarrow").union(
+        drops.map_batches(norm_drops, batch_format="pyarrow")
+    )
+
+    def merge(df: pd.DataFrame) -> pa.Table:
+        is_drop = df["_drop"] == 1
+        dropset = set(df.loc[is_drop, "_jk"])
+        keep = df.loc[~is_drop & ~df["_jk"].isin(dropset), cols]
+        return pa.Table.from_pandas(keep, schema=out_schema, preserve_index=False)
+
+    return keyed_map_blocks(u, ["_jk"], merge, num_blocks=num_blocks)
+
+
 def dedup_near(
     ds: "ray.data.Dataset",
     column: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.5,
+    cc_driver_limit: int = 2_000_000,
+    drop_broadcast_limit: int = 5_000_000,
     **lsh_kwargs,
 ) -> "ray.data.Dataset":
     """End-to-end near-duplicate REMOVAL: MinHash-LSH pairs → connected
     components → keep only each component's min-id representative.
 
-    The drop set (non-representative members) is broadcast into a
-    streaming filter, so the corpus itself never shuffles."""
+    Scale shape: the pair list stays a Dataset. Up to ``cc_driver_limit``
+    pairs the components come from driver union-find (fastest at eval
+    scale); above it, :func:`connected_components_ds` runs fully
+    distributed — the driver never holds the edge list. The drop set
+    (non-representative members) broadcasts into a streaming filter via
+    ``ray.put`` while it fits ``drop_broadcast_limit``; a dup-heavier
+    corpus falls back to a distributed anti-join (one keyed exchange of
+    the corpus — the honest cost once drops are billions of rows)."""
+    import ray
+
+    import pyarrow.compute as pc
+
     pairs = minhash_lsh_pairs(
         ds, column=column, id_col=id_col, threshold=threshold, **lsh_kwargs
-    ).to_pandas()
-    roots = connected_components(pairs)
-    drop = pa.array(
-        sorted(x for x, r in roots.items() if x != r), pa.int64()
-    )
+    ).materialize()
+    n_pairs = pairs.count()
+
+    if n_pairs <= cc_driver_limit:
+        roots = connected_components(pairs.to_pandas())
+        drop_arr = np.array(
+            sorted(x for x, r in roots.items() if x != r), dtype=np.int64
+        )
+        n_drop = len(drop_arr)
+    else:
+        lab = connected_components_ds(pairs).materialize()
+        drops_ds = lab.map_batches(
+            lambda t: t.filter(pc.not_equal(t["v"], t["root"])).select(["v"]),
+            batch_format="pyarrow",
+        ).materialize()
+        n_drop = drops_ds.count()
+        if n_drop > drop_broadcast_limit:
+            _log.info(
+                "dedup_near: %d drops exceed broadcast limit %d — "
+                "distributed anti-join", n_drop, drop_broadcast_limit,
+            )
+            return _anti_join_ids(ds, drops_ds, id_col)
+        drop_arr = np.sort(
+            drops_ds.to_pandas()["v"].to_numpy(np.int64)
+        )  # bounded by drop_broadcast_limit
+
+    _log.info("dedup_near: dropping %d near-duplicate docs (broadcast)", n_drop)
+    drop_ref = ray.put(pa.array(drop_arr, pa.int64()))
 
     def keep(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
+        drop = ray.get(drop_ref)  # plasma read, cached per node
         return t.filter(
             pc.invert(pc.is_in(pc.cast(t[id_col], pa.int64()), value_set=drop))
         )

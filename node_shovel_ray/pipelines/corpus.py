@@ -3,6 +3,7 @@ dedup, text analysis, similarity search — queries()-facing wrappers."""
 
 from __future__ import annotations
 
+import logging
 import os
 
 import numpy as np
@@ -16,6 +17,9 @@ from ..functions.dedup import dedup_exact_counts, minhash_lsh_pairs, simhash_pai
 from ..functions.similarity import knn_brute_force, knn_ivf
 from ..functions.textstats import fingerprint, lang_id, quality_score, token_count
 from ..stages.keyed import default_pool
+
+
+_log = logging.getLogger("node_shovel_ray.corpus")
 
 
 def _docs(sf_dir: str, columns=None) -> "rd.Dataset":
@@ -503,6 +507,8 @@ def crossdoc_gram_docs(sf_dir: str, n: int = 3, min_df: int = 2,
         docs.map_batches(df_partial, batch_format="pyarrow"),
         ["gram"], bucket_sum,
     )
+    import ray
+
     common = pa.array(
         sorted(
             r["gram"]
@@ -510,8 +516,17 @@ def crossdoc_gram_docs(sf_dir: str, n: int = 3, min_df: int = 2,
         ),
         pa.int64() if hashed else pa.string(),
     )
+    # no-silent-caps: a min_df≥2 heavy-hitter set is power-law-small but
+    # not guaranteed small — surface its size, and ship it via plasma
+    # (one object-store read per node) instead of per-task closure capture
+    _log.info(
+        "crossdoc_gram_docs: broadcasting %d common grams (%.1f MB)",
+        len(common), common.nbytes / 1e6,
+    )
+    common_ref = ray.put(common)
 
     def score(t: pa.Table) -> pa.Table:
+        common = ray.get(common_ref)  # plasma read, cached per node
         grams, offs = _flat_ngrams(t["text"].to_pylist(), n)
         n_grams = np.diff(offs)
         keys = gram_key(grams)
@@ -602,12 +617,20 @@ def dupspan_docs(sf_dir: str, L: int = 5, min_df: int = 2) -> "rd.Dataset":
     gram_df = _kmb(
         docs.map_batches(df_partial, batch_format="pyarrow"), ["g"], bucket_sum
     )
+    import ray
+
     common = pa.array(
         sorted(r["g"] for r in gram_df.filter(expr=f"df >= {min_df}").take_all()),
         pa.string(),
     )
+    _log.info(
+        "dupspan_docs: broadcasting %d common spans (%.1f MB)",
+        len(common), common.nbytes / 1e6,
+    )
+    common_ref = ray.put(common)
 
     def cover(t: pa.Table) -> pa.Table:
+        common = ray.get(common_ref)  # plasma read, cached per node
         grams, offs, ntoks = spans_of(t["text"].to_pylist())
         nd = len(t)
         gram_counts = np.diff(offs)
