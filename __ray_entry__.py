@@ -232,6 +232,7 @@ def oracle_sql() -> dict[str, str]:
         "sink_chat": Q.sink_sql("chat"),
         "sink_audit": Q.Q_AUDIT,
         "sink_counts": Q.Q_SINK_COUNTS,
+        "minhash_pairs_docs": Q.Q_MINHASH_PAIRS,
         "agg_pricing": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,

@@ -262,6 +262,135 @@ def minhash_lsh_pairs(
     return verified.filter(expr=f"jaccard >= {threshold}")
 
 
+_M31 = 2147483647  # Mersenne prime 2^31-1: products stay < 2^62 → exact
+# in int64 on the Ray side AND in DuckDB BIGINT, no wraparound divergence
+
+
+def md5_perm_constants(num_perm: int = 16, seed: int = 42):
+    """(A, B) for the md5-based minhash permutation family
+    x → (A·x + B) mod 2³¹-1. Shared by :func:`minhash_pairs_md5` and the
+    DuckDB oracle builder (pipelines/sql_oracle.minhash_pairs_sql), which
+    embeds the same constants as SQL literals."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _M31, size=num_perm, dtype=np.int64)
+    b = rng.integers(0, _M31, size=num_perm, dtype=np.int64)
+    return a, b
+
+
+def minhash_pairs_md5(
+    ds: "ray.data.Dataset",
+    column: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    num_bands: int = 8,
+    threshold: float = 0.5,
+    k: int = 3,
+    seed: int = 42,
+    pair_dedup_limit: int = 2_000_000,
+) -> "ray.data.Dataset":
+    """MinHash-LSH near-dup pairs with a DuckDB-REPRODUCIBLE hash family —
+    the fully SQL-oracle-checkable twin of :func:`minhash_lsh_pairs`
+    (which stays the high-throughput path: vectorized 61-bit family +
+    bucket caps, used by dedup_near and the bench).
+
+    Every stage is exactly mirrored in ANSI SQL (the
+    ``md5_number_lower`` lever, CLAUDE.md): shingle base hash =
+    ``md5_number_lower(shingle) mod 2³¹-1``; permutation j =
+    ``(A_j·h + B_j) mod 2³¹-1`` (31-bit modulus keeps every product
+    < 2⁶² — exact int64 both engines); signature = per-perm min over the
+    doc's DISTINCT shingles; banding groups docs on the exact value
+    TUPLE (no band-hash, so hash collisions cannot add candidates);
+    verification = exact string-set Jaccard ≥ threshold. Same
+    distributed shape as the fast path: signature/banding is one
+    streaming map, candidate generation one keyed exchange on
+    (band, v0..), pair-dedup one exchange, verify via
+    :func:`ngram_jaccard` (exact mode)."""
+    import hashlib
+    import re
+
+    rows_per_band = num_perm // num_bands
+    perm_a, perm_b = md5_perm_constants(num_perm, seed)
+    vcols = [f"v{i}" for i in range(rows_per_band)]
+    ws_re = re.compile(r"[ \t\n\r\f\v]+")
+
+    def band_rows(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy()
+        sh_all: list[str] = []
+        offsets = [0]
+        for text in t[column].to_pylist():
+            toks = [x for x in ws_re.split(text or "") if x]
+            sh_all.extend(sorted(_shingles(toks, k)))
+            offsets.append(len(sh_all))
+        base = np.array(
+            [
+                int.from_bytes(hashlib.md5(s.encode()).digest()[8:16], "little")
+                % _M31
+                for s in sh_all
+            ],
+            dtype=np.int64,
+        )
+        sigs = np.full((len(ids), num_perm), _M31, dtype=np.int64)
+        starts = np.array(offsets[:-1])
+        nonempty = np.flatnonzero(np.diff(offsets) > 0)
+        if len(nonempty) and len(base):
+            prod = (perm_a[:, None] * base[None, :] + perm_b[:, None]) % _M31
+            sigs[nonempty] = np.minimum.reduceat(prod, starts[nonempty], axis=1).T
+        cols = {
+            id_col: pa.array(np.repeat(ids[nonempty], num_bands)),
+            "band_id": pa.array(
+                np.tile(np.arange(num_bands, dtype=np.int32), len(nonempty)),
+                pa.int32(),
+            ),
+        }
+        seg = sigs[nonempty]  # (docs, perms) → per-band value columns
+        for r in range(rows_per_band):
+            vals = seg[:, [b * rows_per_band + r for b in range(num_bands)]]
+            cols[vcols[r]] = pa.array(vals.ravel())
+        return pa.table(cols)
+
+    from ..stages.keyed import first_per_key_block, keyed_map_blocks
+
+    bands = ds.select_columns([id_col, column]).map_batches(
+        band_rows, batch_format="pyarrow"
+    )
+    keys = ["band_id", *vcols]
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        outs_a, outs_b = [], []
+        for _, g in df.groupby(keys, sort=False):
+            ids = np.sort(g[id_col].to_numpy())
+            if len(ids) < 2:
+                continue
+            if len(ids) > 1000:
+                _log.info("minhash_pairs_md5: hot bucket of %d docs", len(ids))
+            ia, ib = np.triu_indices(len(ids), k=1)
+            outs_a.append(ids[ia])
+            outs_b.append(ids[ib])
+        if not outs_a:
+            return pd.DataFrame(
+                {"doc_a": pd.Series([], dtype="int64"),
+                 "doc_b": pd.Series([], dtype="int64")}
+            )
+        return pd.DataFrame(
+            {"doc_a": np.concatenate(outs_a), "doc_b": np.concatenate(outs_b)}
+        )
+
+    cand = keyed_map_blocks(bands, keys, bucket_pairs).materialize()
+    if cand.count() <= pair_dedup_limit:
+        df = cand.to_pandas().drop_duplicates(["doc_a", "doc_b"])
+        cand = ray.data.from_pandas(df.reset_index(drop=True))
+    else:
+        cand = keyed_map_blocks(
+            cand, ["doc_a", "doc_b"], first_per_key_block(["doc_a", "doc_b"])
+        )
+
+    verified = ngram_jaccard(
+        cand, ds.select_columns([id_col, column]), id_col=id_col,
+        column=column, k=k, exact=True,
+    )
+    return verified.filter(expr=f"jaccard >= {threshold}")
+
+
 def ngram_jaccard(
     pairs: "ray.data.Dataset",
     texts: "ray.data.Dataset",
@@ -270,6 +399,7 @@ def ngram_jaccard(
     k: int = 3,
     concurrency=None,
     broadcast_limit: int = 200_000,
+    exact: bool = False,
 ) -> "ray.data.Dataset":
     """Exact k-gram Jaccard for a candidate pair list — the verify kernel,
     also exposed standalone: (doc_a, doc_b) rows + a texts table →
@@ -325,20 +455,36 @@ def ngram_jaccard(
             out = b[["doc_a", "doc_b"]].copy()  # keep upstream dtypes
             out["jaccard"] = pd.Series([], dtype="float64")
             return out
-        # vectorized: hash every distinct text's shingles in ONE
-        # hash_array call, then per-pair C-level intersect on sorted
-        # uint64 arrays (no Python string-set ops in the loop)
+        # default: hash every distinct text's shingles in ONE hash_array
+        # call, then per-pair C-level intersect on sorted uint64 arrays.
+        # exact=True swaps in Python string sets — no 64-bit-collision
+        # caveat, required by the SQL-oracle-paired md5 variant (pairs are
+        # a sliver of the corpus, so the per-pair set ops are cheap).
         texts = np.concatenate(
             [b[ta_col].fillna("").to_numpy(object), b[tb_col].fillna("").to_numpy(object)]
         )
         uniq, inv = np.unique(texts, return_inverse=True)
-        hashes = _shingle_hash_sets(list(uniq), k)
+        if exact:
+            import re
+
+            # explicit class, not str.split(): SQL's string_split_regex
+            # must tokenize identically (str.split also eats \xa0 etc.)
+            ws_re = re.compile(r"[ \t\n\r\f\v]+")
+            hashes = [
+                _shingles([x for x in ws_re.split(t or "") if x], k)
+                for t in uniq
+            ]
+        else:
+            hashes = _shingle_hash_sets(list(uniq), k)
         n = len(b)
         jac = np.empty(n, dtype=np.float64)
         for i, (xa, xb) in enumerate(zip(inv[:n], inv[n:])):
             ha, hb = hashes[xa], hashes[xb]
-            inter = np.intersect1d(ha, hb, assume_unique=True).size
-            union = ha.size + hb.size - inter
+            if exact:
+                inter = len(ha & hb)
+            else:
+                inter = np.intersect1d(ha, hb, assume_unique=True).size
+            union = len(ha) + len(hb) - inter
             jac[i] = inter / (union or 1)
         out = b[["doc_a", "doc_b"]].copy()
         out["jaccard"] = jac

@@ -813,26 +813,32 @@ _GUARD_MAX_ROWS = 20_000
 
 
 def minhash_pairs_docs(sf_dir: str) -> "rd.Dataset":
-    out = minhash_lsh_pairs(
-        _docs(sf_dir, ["doc_id", "text"]), threshold=0.5, concurrency=None
-    )
-    docs = _docs(sf_dir, ["doc_id", "text"])
-    if docs.count() <= _GUARD_MAX_ROWS:
-        # invariant: identical texts have identical signatures, so every
-        # exact-duplicate pair MUST appear (recall=1 on exact dups).
-        df = docs.to_pandas()
-        dup_pairs = set()
-        for _, g in df.groupby("text"):
-            ids = sorted(g["doc_id"])
-            dup_pairs.update(
-                (a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]
-            )
-        got = out.to_pandas()
-        found = set(zip(got["doc_a"], got["doc_b"]))
-        missing = dup_pairs - found
-        assert not missing, f"minhash missed exact-dup pairs: {sorted(missing)[:5]}"
-        return rd.from_pandas(got)
-    return out
+    """MinHash-LSH near-dup pairs, fully SQL-oracle-paired since r5: the
+    md5-based permutation family (functions/dedup.minhash_pairs_md5) is
+    reproduced verbatim by DuckDB (sql_oracle.Q_MINHASH_PAIRS — same
+    inlined constants, same 2³¹-1 modular arithmetic, banding on exact
+    value tuples, exact string-set Jaccard). The vectorized 61-bit family
+    (minhash_lsh_pairs) remains the throughput path used by dedup_near
+    and the bench; this variant exists so the SKETCH itself is
+    oracle-checked, not just guarded."""
+    from ..functions.dedup import minhash_pairs_md5
+
+    out = minhash_pairs_md5(_docs(sf_dir, ["doc_id", "text"]), threshold=0.5)
+
+    def rounded(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "doc_a": t["doc_a"],
+                "doc_b": t["doc_b"],
+                "jaccard": pc.round(
+                    t["jaccard"], 4, round_mode="half_towards_infinity"
+                ),
+            }
+        )
+
+    return out.map_batches(rounded, batch_format="pyarrow")
 
 
 def simhash_pairs_docs(sf_dir: str) -> "rd.Dataset":

@@ -400,3 +400,64 @@ WHERE CASE
 
 
 Q_MIXTURE_DOCS = _mixture_docs_sql()
+
+
+def _minhash_pairs_sql(
+    num_perm: int = 16, num_bands: int = 8, threshold: float = 0.5,
+    k: int = 3, seed: int = 42,
+) -> str:
+    """Exact SQL twin of functions/dedup.minhash_pairs_md5: same md5 base
+    hash mod 2³¹-1, same (A·h+B) mod 2³¹-1 permutations (constants inlined
+    as literals from the SAME generator), banding on the exact value tuple,
+    exact distinct-shingle-set Jaccard verify. 31-bit modulus keeps every
+    product < 2⁶² — exact BIGINT here, exact int64 on the Ray side."""
+    from ..functions.dedup import _M31, md5_perm_constants
+
+    a, b = md5_perm_constants(num_perm, seed)
+    rpb = num_perm // num_bands
+    perm_vals = ", ".join(
+        f"({j}, {int(a[j])}, {int(b[j])})" for j in range(num_perm)
+    )
+    vdefs = ",\n         ".join(
+        f"min(CASE WHEN j % {rpb} = {r} THEN v END) AS v{r}" for r in range(rpb)
+    )
+    vjoin = " AND ".join(f"x.v{r} = y.v{r}" for r in range(rpb))
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(text, '[ \t\n\r\f\v]+'), x -> x <> '') AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+    range(1, greatest(len(toks) - {k - 1}, 1) + 1),
+    i -> array_to_string(toks[i:i+{k - 1}], ' '))) AS shingles
+  FROM tok WHERE len(toks) > 0
+), hb AS (
+  SELECT doc_id, CAST(md5_number_lower(s) % {_M31} AS BIGINT) AS h
+  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)
+), perms(j, pa, pb) AS (VALUES {perm_vals}),
+sig AS (
+  SELECT doc_id, j, min((pa * h + pb) % {_M31}) AS v
+  FROM hb CROSS JOIN perms GROUP BY doc_id, j
+), band AS (
+  SELECT doc_id, j // {rpb} AS band_id,
+         {vdefs}
+  FROM sig GROUP BY doc_id, j // {rpb}
+), cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM band x JOIN band y
+    ON x.band_id = y.band_id AND {vjoin} AND x.doc_id < y.doc_id
+), jj AS (
+  SELECT c.doc_a, c.doc_b,
+     CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+     (len(sa.shingles) + len(sb.shingles)
+      - len(list_intersect(sa.shingles, sb.shingles))) AS jac
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, round(jac, 4) AS jaccard FROM jj WHERE jac >= {threshold}
+"""
+
+
+Q_MINHASH_PAIRS = _minhash_pairs_sql()

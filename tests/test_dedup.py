@@ -286,3 +286,35 @@ def test_connected_components_and_dedup_near(ray_session):
     assert 5 in kept and 1 in kept and 7 in kept
     assert 9 not in kept  # exact dup of 7 always dropped
     assert len(kept) <= 4
+
+
+def test_minhash_pairs_md5_exact_dups_and_sql_shape(ray_session):
+    """md5-permutation variant: exact duplicates must pair at jaccard 1.0,
+    near-dups above threshold appear, unrelated docs don't."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from node_shovel_ray.functions.dedup import minhash_pairs_md5
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 9], pa.int64()),
+                "text": [
+                    "the cat sat on the mat today fine ok",
+                    "the cat sat on the mat today fine ok",
+                    "the cat sat on the mat today fine ok yes",
+                    "completely unrelated words entirely here now",
+                ],
+            }
+        )
+    )
+    got = (
+        minhash_pairs_md5(docs, threshold=0.5)
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    pairs = set(zip(got["doc_a"], got["doc_b"]))
+    assert (1, 2) in pairs and 9 not in set(got["doc_a"]) | set(got["doc_b"])
+    assert got.set_index(["doc_a", "doc_b"]).loc[(1, 2), "jaccard"] == 1.0
