@@ -185,6 +185,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # repetition quality signal + n-gram-overlap contamination (r3)
         "repetition_docs": corpus.repetition_docs,
         "contaminated_docs": corpus.contaminated_docs,
+        # huge-benchmark variant: distributed gram build + Bloom broadcast
+        # + exact gram-join verify (same semantics, same oracle; r5)
+        "contaminated_bloom_docs": corpus.contaminated_bloom_docs,
         # cross-document n-gram duplication signal (corpus-level df; r4)
         "crossdoc_gram_docs": corpus.crossdoc_gram_docs,
         # deterministic seeded corpus shuffle (reproducible epoch order; r4)
@@ -462,6 +465,23 @@ def oracle_sql() -> dict[str, str]:
             FROM grams
         """,
         "contaminated_docs": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                list_filter(string_split_regex(text, '[ \t\n\r\f\v]+'),
+                            x -> x <> '') AS tk
+              FROM documents
+            ), grams AS (
+              SELECT doc_id,
+                unnest(list_transform(range(1, greatest(len(tk) - 4, 0) + 1),
+                                      i -> array_to_string(tk[i:i+4], ' '))) AS g
+              FROM toks
+            ), bench AS (
+              SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0
+            )
+            SELECT DISTINCT doc_id FROM grams
+            WHERE doc_id % 97 <> 0 AND g IN (SELECT g FROM bench)
+        """,
+        "contaminated_bloom_docs": r"""
             WITH toks AS (
               SELECT doc_id,
                 list_filter(string_split_regex(text, '[ \t\n\r\f\v]+'),

@@ -435,6 +435,91 @@ def contaminated_docs(sf_dir: str, n: int = 5) -> "rd.Dataset":
     return ngram_contamination(probe, bench, n=n)
 
 
+def contaminated_bloom_docs(sf_dir: str, n: int = 5, bits_per_key: int = 12,
+                            k: int = 8) -> "rd.Dataset":
+    """Same contract (and same SQL oracle) as :func:`contaminated_docs`,
+    scaled for HUGE benchmark sets (VERDICT r4 #7): the plain variant's
+    ``take_all()`` of bench texts + driver n-gram build is
+    eval-set-sized-only. Here the bench n-gram set is built DISTRIBUTED
+    (per-block distinct → one gram-keyed exchange; the driver never holds
+    texts or grams), broadcast as a ~12-bits/gram Bloom filter
+    (functions/bloom.bloom_from_datasets — driver memory O(filter bits)),
+    and the corpus streams one probe pass: docs whose grams are all
+    bloom-negative drop immediately; the bloom-positive (doc, gram)
+    sliver (true hits + ~0.3% false positives) is verified EXACTLY
+    against the distinct bench grams via a distributed gram-keyed join —
+    result identical to the plain variant by construction."""
+    import pyarrow.compute as pc
+    import ray
+
+    from ..functions.bloom import bloom_from_datasets, bloom_query, default_hash64
+    from ..functions.dedup import _flat_ngrams
+    from ..stages.join import hash_join
+    from ..stages.keyed import default_num_blocks, keyed_map_blocks
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    nb = max(8, default_num_blocks() // 8)
+
+    def bench_gram_rows(t: pa.Table) -> pa.Table:
+        m = pc.subtract(t["doc_id"], pc.multiply(pc.divide(t["doc_id"], 97), 97))
+        t = t.filter(pc.equal(m, 0))
+        grams, _ = _flat_ngrams(t["text"].to_pylist(), n)
+        uniq = np.unique(np.asarray(grams, dtype=object)) if len(grams) else []
+        return pa.table({"gram": pa.array(uniq, pa.string())})
+
+    # distinct bench grams, distributed; coalesced (filtered slivers →
+    # tiny blocks, CLAUDE.md) + materialized (reused: count, bloom build,
+    # exact verify)
+    bench_grams = keyed_map_blocks(
+        docs.map_batches(bench_gram_rows, batch_format="pyarrow"),
+        ["gram"],
+        lambda df: df.drop_duplicates("gram"),
+        num_blocks=nb,
+    ).repartition(nb).materialize()
+
+    bf = bloom_from_datasets(
+        bench_grams, "gram", max(bench_grams.count(), 1), default_hash64,
+        bits_per_key=bits_per_key, k=k,
+    )
+    bf_ref = ray.put(bf)
+
+    def probe(t: pa.Table) -> pa.Table:
+        m = pc.subtract(t["doc_id"], pc.multiply(pc.divide(t["doc_id"], 97), 97))
+        t = t.filter(pc.not_equal(m, 0))
+        grams, offs = _flat_ngrams(t["text"].to_pylist(), n)
+        if not len(grams):
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "gram": pa.array([], pa.string())}
+            )
+        f = ray.get(bf_ref)  # plasma read, cached per node
+        hit = bloom_query(f, default_hash64(np.asarray(grams, dtype=object)))
+        ids = np.repeat(t["doc_id"].to_numpy(), np.diff(offs))[hit]
+        gs = np.asarray(grams, dtype=object)[hit]
+        pairs = pd.DataFrame({"doc_id": ids, "gram": gs}).drop_duplicates()
+        return pa.table(
+            {"doc_id": pa.array(pairs["doc_id"].to_numpy(np.int64)),
+             "gram": pa.array(pairs["gram"].to_numpy(object), pa.string())}
+        )
+
+    pos = docs.map_batches(probe, batch_format="pyarrow").repartition(nb)
+    bench_marked = bench_grams.map_batches(
+        lambda t: t.append_column("_bench", pa.array(np.ones(len(t), np.int8))),
+        batch_format="pyarrow",
+    )
+    joined = hash_join(
+        pos, bench_marked, left_on="gram", how="left", num_blocks=2 * nb
+    )
+    matched = joined.map_batches(
+        lambda t: t.filter(pc.is_valid(t["_bench"])).select(["doc_id"]),
+        batch_format="pyarrow",
+    )
+    return keyed_map_blocks(
+        matched, ["doc_id"], lambda df: df.drop_duplicates("doc_id"),
+        num_blocks=nb,
+    )
+
+
 def crossdoc_gram_docs(sf_dir: str, n: int = 3, min_df: int = 2,
                        hashed: bool = False) -> "rd.Dataset":
     """Cross-document n-gram duplication signal (the corpus-level C4 /

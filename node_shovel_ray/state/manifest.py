@@ -138,8 +138,20 @@ class ResumableRunner:
         return info
 
     def run(self, partitions: list[list[str]], process: Callable) -> list[dict]:
-        infos = [self.run_partition(files, process) for files in partitions]
-        self._write_metrics()
+        """Run all partitions; ``_manifest/metrics.json`` is refreshed after
+        EVERY committed partition (not only at the end), so an operator can
+        watch counters/sink rows advance DURING a long run — the batch
+        analogue of the reference's live Prometheus scrape with
+        cross-worker pull aggregation (src/core/master.js:104-129,
+        aggregated_metrics.js:157-209). Each refresh is an atomic rename,
+        and the numbers are re-derived from commit markers, so a reader
+        never sees a torn or double-counted snapshot."""
+        total = len(partitions)
+        infos = []
+        for i, files in enumerate(partitions):
+            infos.append(self.run_partition(files, process))
+            self._write_metrics(status="running", done=i + 1, total=total)
+        self._write_metrics(status="complete", done=total, total=total)
         return infos
 
     # -- operational metrics --------------------------------------------------
@@ -175,11 +187,29 @@ class ResumableRunner:
             "wall_sec": round(sum(p.get("wall_sec", 0.0) for p in parts), 3),
         }
 
-    def _write_metrics(self) -> None:
+    def _write_metrics(self, status: str = "complete",
+                       done: int | None = None, total: int | None = None) -> None:
+        m = self.metrics()
+        m["status"] = status
+        if done is not None:
+            m["partitions_done"] = done
+        if total is not None:
+            m["partitions_total"] = total
         tmp = os.path.join(self.tmp_dir, "metrics.json")
         with open(tmp, "w") as fh:
-            json.dump(self.metrics(), fh, indent=1)
+            json.dump(m, fh, indent=1)
         os.rename(tmp, os.path.join(self.manifest_dir, "metrics.json"))
+
+    @staticmethod
+    def read_live_metrics(out_dir: str) -> dict | None:
+        """The scrape endpoint analogue: read the latest atomic metrics
+        snapshot of a (possibly still-running) run from another process.
+        Returns None before the first partition commits."""
+        path = os.path.join(out_dir, "_manifest", "metrics.json")
+        if not os.path.exists(path):
+            return None
+        with open(path) as fh:
+            return json.load(fh)
 
     # -- final aggregates -----------------------------------------------------
 

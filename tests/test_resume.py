@@ -131,3 +131,45 @@ def test_follow_once_incremental(ray_session, tmp_path):
         for f in g.glob(str(out / "sink=all" / "*" / "*.parquet"))
     )
     assert total == 9
+
+
+def test_live_metrics_mid_run(tiny_fixture, tiny_tables, tmp_path):
+    """VERDICT r4 #8: metrics.json must be readable DURING the run (after
+    each committed partition, status=running) and reconcile at completion
+    (status=complete, counters = sum over all partitions)."""
+    _, meta = tiny_tables
+    parts = _partitions(tiny_fixture)
+    out_dir = str(tmp_path / "live")
+    inner = _process(meta)
+    seen_mid: list[dict] = []
+
+    def spying_process(ds):
+        # runs while partition N is IN FLIGHT — the live snapshot must
+        # reflect exactly the previously committed partitions
+        live = ResumableRunner.read_live_metrics(out_dir)
+        if live is not None:
+            seen_mid.append(live)
+        return inner(ds)
+
+    infos = ResumableRunner(out_dir).run(parts, spying_process)
+    assert len(infos) == 4
+
+    # mid-run snapshots: first partition saw none; later ones saw running
+    # snapshots with monotonically increasing committed counts
+    assert len(seen_mid) == 3
+    assert [m["status"] for m in seen_mid] == ["running"] * 3
+    assert [m["n_partitions"] for m in seen_mid] == [1, 2, 3]
+    assert [m["partitions_done"] for m in seen_mid] == [1, 2, 3]
+    assert all(m["partitions_total"] == 4 for m in seen_mid)
+    # counters advance monotonically
+    ins = [m["counters"]["in"] for m in seen_mid]
+    assert ins == sorted(ins) and ins[0] > 0
+
+    # completion: reconciles with per-partition commit markers exactly
+    final = ResumableRunner.read_live_metrics(out_dir)
+    assert final["status"] == "complete"
+    assert final["n_partitions"] == 4 and final["partitions_done"] == 4
+    want_in = sum(i["counters"]["in"] for i in infos)
+    assert final["counters"]["in"] == want_in
+    for tag in ("errors", "tools", "chat", "audit"):
+        assert final["sink_rows"][tag] == sum(i["sink_rows"][tag] for i in infos)
