@@ -236,6 +236,8 @@ def oracle_sql() -> dict[str, str]:
         "sink_audit": Q.Q_AUDIT,
         "sink_counts": Q.Q_SINK_COUNTS,
         "minhash_pairs_docs": Q.Q_MINHASH_PAIRS,
+        "simhash_pairs_docs": Q.Q_SIMHASH_PAIRS,
+        "neardup_dedup_docs": Q.Q_NEARDUP_DEDUP,
         "agg_pricing": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,

@@ -689,23 +689,49 @@ class SimHasher:
     take per-doc majority votes via ``np.add.reduceat`` segment sums —
     no per-doc Python work."""
 
-    def __init__(self, seed: int = 42, column: str = "text", id_col: str = "doc_id"):
+    def __init__(self, seed: int = 42, column: str = "text", id_col: str = "doc_id",
+                 hash_fn: str = "pd"):
         self.column = column
         self.id_col = id_col
         self.hash_key = f"{seed:016d}"[:16]
+        # "md5": DuckDB-reproducible token hashes (md5_number_lower) +
+        # the explicit whitespace class, so the whole simhash — and with
+        # the 4×16-bit banding's guaranteed recall at hamming ≤ 3, the
+        # whole PAIR SET — is SQL-oracle-checkable. "pd" stays the fast
+        # vectorized path.
+        self.hash_fn = hash_fn
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import re
+
+        ws_re = re.compile(r"[ \t\n\r\f\v]+")
         texts = batch[self.column].to_pylist()
         all_toks: list[str] = []
         offsets = [0]
         for t in texts:
-            all_toks.extend((t or "").split())
+            if self.hash_fn == "md5":
+                all_toks.extend(x for x in ws_re.split(t or "") if x)
+            else:
+                all_toks.extend((t or "").split())
             offsets.append(len(all_toks))
         out = np.zeros(len(texts), dtype=np.uint64)
         if all_toks:
-            hs = pd.util.hash_array(
-                np.array(all_toks, dtype=object), hash_key=self.hash_key
-            ).astype(np.uint64)
+            if self.hash_fn == "md5":
+                import hashlib
+
+                hs = np.array(
+                    [
+                        int.from_bytes(
+                            hashlib.md5(x.encode()).digest()[8:16], "little"
+                        )
+                        for x in all_toks
+                    ],
+                    dtype=np.uint64,
+                )
+            else:
+                hs = pd.util.hash_array(
+                    np.array(all_toks, dtype=object), hash_key=self.hash_key
+                ).astype(np.uint64)
             # bit i of each hash via unpackbits on the little-endian byte
             # view — orders of magnitude faster than a broadcast uint64 shift
             bits = np.unpackbits(
@@ -734,20 +760,30 @@ def simhash_pairs(
     max_hamming: int = 3,
     seed: int = 42,
     concurrency=None,
+    hash_fn: str = "pd",
 ) -> "ray.data.Dataset":
     """Near-dup pairs by simhash: bucket on 4×16-bit bands (any pair within
-    Hamming distance 3 shares at least one exact 16-bit band), verify
-    Hamming distance inside buckets."""
+    Hamming distance 3 shares at least one exact 16-bit band — pigeonhole,
+    so recall is EXACTLY 1 at max_hamming ≤ 3 and the banded result equals
+    brute force), verify Hamming distance inside buckets.
+
+    ``hash_fn="md5"`` makes the token hashes DuckDB-reproducible
+    (md5_number_lower), which — combined with the guaranteed recall —
+    makes the whole pair set SQL-oracle-checkable
+    (sql_oracle.Q_SIMHASH_PAIRS: brute-force cross join over the same
+    signatures)."""
     if concurrency is None:
         # simhash state (seeded hash key) is tiny → task closure, no pool
         sigs = ds.select_columns([id_col, column]).map_batches(
-            SimHasher(seed=seed, column=column, id_col=id_col),
+            SimHasher(seed=seed, column=column, id_col=id_col, hash_fn=hash_fn),
             batch_format="pyarrow",
         )
     else:
         sigs = ds.select_columns([id_col, column]).map_batches(
             SimHasher,
-            fn_constructor_kwargs=dict(seed=seed, column=column, id_col=id_col),
+            fn_constructor_kwargs=dict(
+                seed=seed, column=column, id_col=id_col, hash_fn=hash_fn
+            ),
             batch_format="pyarrow",
             concurrency=concurrency,
         )
@@ -1037,6 +1073,7 @@ def dedup_near(
     threshold: float = 0.5,
     cc_driver_limit: int = 2_000_000,
     drop_broadcast_limit: int = 5_000_000,
+    pairs: "ray.data.Dataset | None" = None,
     **lsh_kwargs,
 ) -> "ray.data.Dataset":
     """End-to-end near-duplicate REMOVAL: MinHash-LSH pairs → connected
@@ -1049,14 +1086,20 @@ def dedup_near(
     (non-representative members) broadcasts into a streaming filter via
     ``ray.put`` while it fits ``drop_broadcast_limit``; a dup-heavier
     corpus falls back to a distributed anti-join (one keyed exchange of
-    the corpus — the honest cost once drops are billions of rows)."""
+    the corpus — the honest cost once drops are billions of rows).
+
+    ``pairs``: pre-computed (doc_a, doc_b) rows — pass
+    :func:`minhash_pairs_md5` output for the SQL-oracle-paired family;
+    default builds the fast 61-bit :func:`minhash_lsh_pairs`."""
     import ray
 
     import pyarrow.compute as pc
 
-    pairs = minhash_lsh_pairs(
-        ds, column=column, id_col=id_col, threshold=threshold, **lsh_kwargs
-    ).materialize()
+    if pairs is None:
+        pairs = minhash_lsh_pairs(
+            ds, column=column, id_col=id_col, threshold=threshold, **lsh_kwargs
+        )
+    pairs = pairs.materialize()
     n_pairs = pairs.count()
 
     if n_pairs <= cc_driver_limit:

@@ -42,23 +42,18 @@ def token_stats_docs(sf_dir: str) -> "rd.Dataset":
 
 def neardup_dedup_docs(sf_dir: str) -> "rd.Dataset":
     """End-to-end near-dup REMOVAL (pairs → connected components → keep
-    min-id representative). Gate-scale guard: survivors = all docs minus
-    non-root members of the pair graph, verified against a direct
-    union-find over the (already exact-Jaccard-verified) pairs."""
-    from ..functions.dedup import connected_components, dedup_near, minhash_lsh_pairs
+    min-id representative), fully SQL-oracle-paired since r5: the pair
+    list comes from the md5 permutation family
+    (functions/dedup.minhash_pairs_md5 — DuckDB-identical), and the
+    component/drop logic is reproduced by a recursive-CTE transitive
+    closure (sql_oracle.Q_NEARDUP_DEDUP). The 61-bit family + bucket caps
+    remain dedup_near's default for the throughput path."""
+    from ..functions.dedup import dedup_near, minhash_pairs_md5
 
     docs = _docs(sf_dir, ["doc_id", "text"])
-    out = dedup_near(docs, threshold=0.5)
-    if docs.count() <= _GUARD_MAX_ROWS:
-        pairs = minhash_lsh_pairs(docs, threshold=0.5).to_pandas()
-        roots = connected_components(pairs)
-        expect_drop = {x for x, r in roots.items() if x != r}
-        got = out.to_pandas()
-        kept = set(got["doc_id"])
-        alldocs = set(docs.to_pandas()["doc_id"])
-        assert kept == alldocs - expect_drop
-        return rd.from_pandas(got.sort_values("doc_id").reset_index(drop=True))
-    return out
+    return dedup_near(
+        docs, threshold=0.5, pairs=minhash_pairs_md5(docs, threshold=0.5)
+    )
 
 
 def vocab_top_tokens(sf_dir: str, k: int = 20) -> "rd.Dataset":
@@ -927,8 +922,13 @@ def minhash_pairs_docs(sf_dir: str) -> "rd.Dataset":
 
 
 def simhash_pairs_docs(sf_dir: str) -> "rd.Dataset":
+    """SimHash near-dup pairs, fully SQL-oracle-paired since r5: md5 token
+    hashes (DuckDB-reproducible) + the 4×16-bit banding's pigeonhole
+    guarantee (recall exactly 1 at hamming ≤ 3) mean the banded LSH result
+    EQUALS the brute-force pair set the oracle computes."""
     return simhash_pairs(
-        _docs(sf_dir, ["doc_id", "text"]), max_hamming=3, concurrency=None
+        _docs(sf_dir, ["doc_id", "text"]), max_hamming=3, concurrency=None,
+        hash_fn="md5",
     )
 
 

@@ -461,3 +461,71 @@ SELECT doc_a, doc_b, round(jac, 4) AS jaccard FROM jj WHERE jac >= {threshold}
 
 
 Q_MINHASH_PAIRS = _minhash_pairs_sql()
+
+
+def _neardup_dedup_sql(threshold: float = 0.5, **mh_kwargs) -> str:
+    """End-to-end near-dup REMOVAL oracle: the md5 minhash pair CTEs above
+    + a recursive-CTE transitive closure (min reachable id per vertex =
+    the component root the Ray side's star contraction / union-find
+    computes), then survivors = docs minus non-root members. Component
+    sizes at eval scale keep the closure tiny."""
+    body = _minhash_pairs_sql(threshold=threshold, **mh_kwargs).strip()
+    assert body.startswith("WITH ")
+    cut = body.rindex("\nSELECT doc_a")  # strip the final SELECT, keep CTEs
+    ctes = body[len("WITH "):cut].rstrip()
+    return f"""
+WITH RECURSIVE {ctes},
+mp AS (
+  SELECT doc_a, doc_b FROM jj WHERE jac >= {threshold}
+), edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM mp
+  UNION
+  SELECT doc_b, doc_a FROM mp
+), reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+), roots AS (
+  SELECT u AS vtx, least(u, min(v)) AS root FROM reach GROUP BY u
+), drops AS (
+  SELECT vtx FROM roots WHERE root < vtx
+)
+SELECT doc_id, text FROM documents
+WHERE doc_id NOT IN (SELECT vtx FROM drops)
+"""
+
+
+Q_NEARDUP_DEDUP = _neardup_dedup_sql()
+
+
+# SimHash pair oracle: the Ray side banding has recall EXACTLY 1 at
+# hamming <= 3 (4 disjoint 16-bit bands, pigeonhole), so the brute-force
+# cross join below computes the identical pair set from the identical
+# md5-token-hash signatures (functions/dedup.SimHasher hash_fn="md5";
+# majority tie -> bit set on both sides).
+Q_SIMHASH_PAIRS = r"""
+WITH tok AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(text, '[ \t\n\r\f\v]+'), x -> x <> '') AS toks
+  FROM documents
+), th AS (
+  SELECT doc_id, len(toks) AS n, md5_number_lower(unnest(toks)) AS h
+  FROM tok WHERE len(toks) > 0
+), bits AS (
+  SELECT doc_id, j,
+         sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE 0 END) AS ones,
+         max(n) AS n
+  FROM th CROSS JOIN (SELECT unnest(range(0, 64)) AS j)
+  GROUP BY doc_id, j
+), sig AS (
+  SELECT doc_id,
+         sum(CASE WHEN 2 * ones >= n THEN CAST(1 AS UBIGINT) << j
+                  ELSE CAST(0 AS UBIGINT) END) AS s
+  FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(CAST(a.s AS UBIGINT), CAST(b.s AS UBIGINT))) AS BIGINT)
+         AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(CAST(a.s AS UBIGINT), CAST(b.s AS UBIGINT))) <= 3
+"""

@@ -220,11 +220,49 @@ def probe_crossdoc(n_docs: int) -> dict:
     }
 
 
+def probe_neardup(n_docs: int) -> dict:
+    """Near-duplicate REMOVAL at scale with every driver-side path
+    DISABLED (VERDICT r4 #1): MinHash-LSH pairs → keyed-exchange pair
+    dedup → distributed star-contraction connected components
+    (functions/dedup.connected_components_ds) → distributed anti-join
+    drop. The driver never holds the pair list, the component labels, or
+    the drop set. The fixture plants an exact duplicate every 50th doc
+    (~n/50 two-doc components), so the expected drop count is known to
+    within shard-boundary effects."""
+    import ray.data as rd
+
+    from node_shovel_ray.functions.dedup import dedup_near
+
+    docs_dir = os.path.join(PROBE_DIR, f"docs_{n_docs}")
+    gen_documents(docs_dir, n_docs)
+    t0 = time.time()
+    with StoreSampler() as samp:
+        out = dedup_near(
+            rd.read_parquet(os.path.join(docs_dir, "documents.parquet")),
+            threshold=0.5,
+            cc_driver_limit=0,       # force distributed connected components
+            drop_broadcast_limit=0,  # force the distributed anti-join drop
+        )
+        n = out.count()
+    sec = time.time() - t0
+    return {
+        "rows_in": n_docs, "rows_out": int(n),
+        "dropped": int(n_docs - n),
+        "planted_dups_approx": n_docs // 50,
+        "sec": round(sec, 1),
+        "rows_per_s": int(n_docs / sec),
+        "peak_object_store_gb": round(samp.peak_used / 2**30, 2),
+        "store_total_gb": round(samp.total / 2**30, 2),
+        "spilled_mb": spilled_mb(),
+    }
+
+
 PROBES = {
     "flagship": lambda nc, nd: probe_flagship(nc),
     "curation": lambda nc, nd: probe_curation(nd),
     "decontaminate": lambda nc, nd: probe_decontaminate(nd),
     "crossdoc": lambda nc, nd: probe_crossdoc(nd),
+    "neardup": lambda nc, nd: probe_neardup(nd),
 }
 
 
