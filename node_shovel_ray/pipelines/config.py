@@ -157,6 +157,30 @@ def _in_tail(o):
     return make
 
 
+@register("input", "spool")
+def _in_spool(o):
+    # drain tick over a network-collector spool (sources/net.py) — the
+    # batch analogue of the reference's live tcp/udp/http-server inputs
+    # (src/inputs/tcp.js, udp.js, http-server.js): collectors seal shards;
+    # each run consumes the sealed backlog and commits it only AFTER the
+    # sink succeeds (same at-least-once contract as input: tail).
+    from ..sources.net import commit_spool, drain_spool
+
+    tick: dict = {"shards": []}
+
+    def make():
+        ds, shards = drain_spool(o["spool_dir"])
+        tick["shards"] = shards
+        return ds if ds is not None else rd.from_items([{"source": ""}]).limit(0)
+
+    def commit():
+        if tick["shards"]:
+            commit_spool(o["spool_dir"], tick["shards"])
+
+    make.commit = commit
+    return make
+
+
 # decoders -----------------------------------------------------------------
 
 
@@ -591,7 +615,8 @@ def _enc_b64(o):
 # rows) must materialize first or the at-least-once contract breaks —
 # offsets would advance past bytes nothing has processed yet
 EAGER_OUTPUTS = frozenset(
-    {"parquet", "json", "csv", "jsonl", "partitioned_parquet", "blackhole"}
+    {"parquet", "json", "csv", "jsonl", "partitioned_parquet", "blackhole",
+     "tcp", "udp"}
 )
 
 
@@ -646,6 +671,35 @@ def _out_partitioned(o):
         ts_col=o.get("ts_col", "ts"),
         granularity=o.get("granularity", "day"),
         partition_template=o.get("template"),
+    )
+
+
+@register("output", "tcp")
+def _out_tcp(o):
+    # persistent-connection newline-framed TCP sink (reference
+    # src/outputs/tcp.js:6-96); returns rows delivered (the ack ledger)
+    from ..stages.sink_net import write_tcp
+
+    return lambda ds: write_tcp(
+        ds,
+        o.get("host", "127.0.0.1"),
+        int(o.get("port", 515)),
+        column=o.get("column", "payload"),
+        encoding=o.get("encoding", "utf-8"),
+    )
+
+
+@register("output", "udp")
+def _out_udp(o):
+    # one-datagram-per-row UDP sink (reference src/outputs/udp.js:4-42)
+    from ..stages.sink_net import write_udp
+
+    return lambda ds: write_udp(
+        ds,
+        o.get("host", "127.0.0.1"),
+        int(o.get("port", 515)),
+        column=o.get("column", "payload"),
+        encoding=o.get("encoding", "utf-8"),
     )
 
 
