@@ -616,7 +616,7 @@ def _enc_b64(o):
 # offsets would advance past bytes nothing has processed yet
 EAGER_OUTPUTS = frozenset(
     {"parquet", "json", "csv", "jsonl", "partitioned_parquet", "blackhole",
-     "tcp", "udp"}
+     "tcp", "udp", "mqtt", "amqp"}
 )
 
 
@@ -700,6 +700,43 @@ def _out_udp(o):
         int(o.get("port", 515)),
         column=o.get("column", "payload"),
         encoding=o.get("encoding", "utf-8"),
+    )
+
+
+@register("output", "mqtt")
+def _out_mqtt(o):
+    # qos-1 publisher with per-row templated topic (reference
+    # src/outputs/mqtt.js:111-129); returns rows delivered
+    from ..stages.sink_net import write_mqtt
+
+    return lambda ds: write_mqtt(
+        ds,
+        o.get("host", "127.0.0.1"),
+        int(o.get("port", 1883)),
+        topic=o.get("topic", "nsr"),
+        column=o.get("column", "payload"),
+        qos=int(o.get("qos", 1)),
+        username=o.get("username"),
+        password=o.get("password"),
+    )
+
+
+@register("output", "amqp")
+def _out_amqp(o):
+    # exchange publisher with per-row templated routing key (reference
+    # src/outputs/amqp.js:60-86); returns rows delivered
+    from ..stages.sink_net import write_amqp
+
+    return lambda ds: write_amqp(
+        ds,
+        o.get("host", "127.0.0.1"),
+        int(o.get("port", 5672)),
+        exchange=o.get("exchange_name", ""),
+        routing_key=o.get("routing_key", ""),
+        column=o.get("column", "payload"),
+        exchange_type=o.get("exchange_type", "direct"),
+        username=o.get("username", "guest"),
+        password=o.get("password", "guest"),
     )
 
 
