@@ -213,6 +213,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # stopped at 50, leaving these 12 judge-verified-only — front-load them
     # so CORRECTNESS_r05 records a driver-confirmed row for every name
     front = [
+        "contaminated_bloom_docs",  # new in r5 — no driver row yet
         "repetition_docs", "contaminated_docs", "crossdoc_gram_docs",
         "shuffle_docs", "dupspan_docs", "split_docs", "unigram_logprob_docs",
         "mixture_docs", "pii_stats_docs", "media_image_stats",

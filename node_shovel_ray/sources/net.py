@@ -57,11 +57,22 @@ class SpoolWriter:
     queue batch_size/flush_timeout idiom, src/queues/batch.js:26-39,
     mapped to shard rotation). Seal = write ``.tmp`` + atomic rename, so
     a reader never observes a half-written shard.
+
+    ``queue_size`` > 0 enables the reference's FIFO load shedding
+    (src/queues/batch.js:182-195): an append at capacity evicts the
+    OLDEST buffered row first, counted in :attr:`evicted`. Off by
+    default — a batch engine prefers backpressure (the HTTP collector's
+    520) over dropping; the knob exists for lossy edges (UDP-style
+    telemetry) where the reference would shed too. Sealed shards are
+    never evicted (they are the durable ledger).
     """
 
-    def __init__(self, spool_dir: str, max_records: int = 10_000):
+    def __init__(self, spool_dir: str, max_records: int = 10_000,
+                 queue_size: int = 0):
         self.spool_dir = spool_dir
         self.max_records = max_records
+        self.queue_size = queue_size
+        self.evicted = 0
         os.makedirs(spool_dir, exist_ok=True)
         self._lock = threading.Lock()
         self._rows: list[dict] = []
@@ -75,6 +86,9 @@ class SpoolWriter:
 
     def append(self, row: dict) -> None:
         with self._lock:
+            if self.queue_size and len(self._rows) >= self.queue_size:
+                self._rows.pop(0)  # evict the oldest (batch.js:188-193)
+                self.evicted += 1
             self._rows.append(row)
             if len(self._rows) >= self.max_records:
                 self._seal_locked()

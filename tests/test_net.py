@@ -59,6 +59,23 @@ def test_spool_seal_rotation_and_commit(tmp_path):
     assert sealed_shards(str(tmp_path)) == ["shard-000003.parquet"]
 
 
+def test_spool_fifo_eviction(tmp_path):
+    # reference queue load shedding (src/queues/batch.js:182-195): at
+    # queue_size capacity the OLDEST buffered row is evicted and counted
+    sp = SpoolWriter(str(tmp_path), max_records=100, queue_size=3)
+    for i in range(5):
+        sp.append({"source": f"r{i}"})
+    assert sp.evicted == 2 and sp.pending() == 3
+    sp.seal()
+    ds, _ = drain_spool(str(tmp_path))
+    assert sorted(r["source"] for r in ds.take_all()) == ["r2", "r3", "r4"]
+    # default queue_size=0 never sheds
+    sp2 = SpoolWriter(str(tmp_path / "b"), max_records=1000)
+    for i in range(500):
+        sp2.append({"source": str(i)})
+    assert sp2.evicted == 0 and sp2.pending() == 500
+
+
 # ----------------------------------------------------------- tcp collector
 
 
