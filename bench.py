@@ -169,6 +169,21 @@ def _side_queries() -> dict[str, float]:
     )
     timed("crossdoc_grams", lambda: corpus.crossdoc_gram_docs(SF_DIR).count())
     timed("media_decode", lambda: media.media_image_stats(SF_DIR).count())
+
+    # r5: end-to-end near-duplicate REMOVAL (MinHash-LSH pairs → star-
+    # contraction connected components → anti-join drop), fully
+    # distributed (no driver-side pair list / union-find / drop set)
+    from node_shovel_ray.functions.dedup import dedup_near
+
+    timed(
+        "neardup_removal",
+        lambda: dedup_near(
+            rd.read_parquet(os.path.join(SF_DIR, "documents.parquet")),
+            threshold=0.5,
+            cc_driver_limit=0,
+            drop_broadcast_limit=0,
+        ).count(),
+    )
     return out
 
 
