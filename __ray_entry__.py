@@ -239,6 +239,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs_docs": Q.Q_MINHASH_PAIRS,
         "simhash_pairs_docs": Q.Q_SIMHASH_PAIRS,
         "neardup_dedup_docs": Q.Q_NEARDUP_DEDUP,
+        "embed_neardup_lsh": Q.Q_EMBED_NEARDUP_LSH,
         "agg_pricing": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
@@ -627,8 +628,10 @@ def oracle_sql() -> dict[str, str]:
         "media_image_stats": media.Q_MEDIA_IMAGE,
         "media_audio_stats": media.Q_MEDIA_AUDIO,
         "media_frame_stats": media.Q_MEDIA_FRAMES,
-        # minhash_pairs_docs / simhash_pairs_docs / neardup_dedup_docs /
-        # knn_ivf_vec0 / embed_neardup_lsh: recall<1 by design (LSH/IVF) →
-        # rows-only check here, but each asserts a python-oracle/recall
-        # bound internally (pytest + in-query guards, pipelines/corpus.py).
+        # knn_ivf_vec0: the one remaining rows-only check — the k-means
+        # coarse quantizer is iterative float averaging, not reasonably
+        # SQL-reproducible; recall<1 vs brute force by design, asserted by
+        # the in-query recall guard (pipelines/corpus.py). Every other
+        # approximate op (minhash/simhash/embed-LSH/neardup removal) is
+        # md5-family-deterministic and fully oracle-paired above.
     }

@@ -228,6 +228,32 @@ def cosine_pairs_tiled(
     return keyed_map_blocks(expanded, ["_ga", "_gb"], tile_pairs)
 
 
+def md5_planes(n_tables: int, n_planes: int, d: int) -> np.ndarray:
+    """Deterministic hyperplane family from the md5 hash domain.
+
+    ``plane[t, p, j] = (md5_num("lshp_{t}_{p}_{j}") % 2^53) / 2^52 - 1``
+    where ``md5_num`` is the low-8-bytes-little-endian integer of the md5
+    digest — exactly DuckDB's ``md5_number_lower``, and every value has
+    ≤53 mantissa bits so the float64 round-trip is bit-exact in both
+    engines. Uniform-on-[-1,1) directions are a valid sign-LSH family
+    (symmetric about the origin); the collision probability deviates from
+    the Gaussian family's exact ``1 - θ/π`` only by the cube's mild
+    anisotropy, negligible at d≥32. This is what makes
+    ``embed_neardup_lsh`` fully SQL-oracle-checkable."""
+    import hashlib
+
+    vals = np.empty((n_tables, n_planes, d), np.float64)
+    for t in range(n_tables):
+        for p in range(n_planes):
+            for j in range(d):
+                h = int.from_bytes(
+                    hashlib.md5(f"lshp_{t}_{p}_{j}".encode()).digest()[8:16],
+                    "little",
+                )
+                vals[t, p, j] = (h % 2**53) / 2**52 - 1.0
+    return vals
+
+
 def cosine_pairs_lsh(
     ds: "ray.data.Dataset",
     threshold: float,
@@ -238,6 +264,7 @@ def cosine_pairs_lsh(
     seed: int = 42,
     max_bucket: int = 1000,
     concurrency=None,
+    plane_family: str = "gaussian",
 ) -> "ray.data.Dataset":
     """Embedding near-dup pairs via random-hyperplane LSH (the scale path).
 
@@ -247,22 +274,33 @@ def cosine_pairs_lsh(
     shuffle key = (table, bucket); in-bucket pairwise cosine is capped at
     ``max_bucket`` rows (boilerplate guard), then pairs are deduped across
     tables and verified against ``threshold``.
+
+    ``plane_family="md5"`` draws the planes from :func:`md5_planes`
+    instead of a seeded Gaussian — same algorithm, but the bucketing is
+    then exactly reproducible in SQL (DuckDB ``md5_number_lower``), so the
+    whole approximate pipeline gets a full value-hash oracle.
     """
     import pandas as pd
 
     from ..stages.keyed import first_per_key_block, keyed_map_blocks
 
-    rng = np.random.default_rng(seed)
     d = len(ds.select_columns([vec_col]).take(1)[0][vec_col])
-    planes = rng.standard_normal((n_tables, n_planes, d))
+    if plane_family == "md5":
+        planes = md5_planes(n_tables, n_planes, d)
+    else:
+        planes = np.random.default_rng(seed).standard_normal((n_tables, n_planes, d))
 
     # planes are a few KB → task closure, not an actor pool
     def bucketize(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy()
-        m = _norm(_to_matrix(batch[vec_col]))
+        # signs come from the RAW float64 vectors (sign(v·p) == sign(v̂·p),
+        # and the SQL twin's list_dot_product sees raw vectors too);
+        # normalization happens once here for the in-bucket cosine sims.
+        mraw = _to_matrix(batch[vec_col])
+        m = _norm(mraw)
         outs = []
         for t in range(n_tables):
-            signs = (m @ planes[t].T) > 0  # (n, n_planes)
+            signs = (mraw @ planes[t].T) > 0  # (n, n_planes)
             buck = signs @ (1 << np.arange(n_planes))
             outs.append(
                 pa.table(

@@ -966,15 +966,41 @@ def embed_neardup(sf_dir: str, threshold: float = 0.35) -> "rd.Dataset":
 
 
 def embed_neardup_lsh(sf_dir: str, threshold: float = 0.35) -> "rd.Dataset":
-    """LSH-bucketed variant (the 100 TB path; recall < 1 by design).
+    """LSH-bucketed variant (the 100 TB path; recall < 1 vs brute force by
+    design — but DETERMINISTIC, so fully oracle-checkable).
 
-    Gate-scale guard: precision must be 1 (every returned pair is a true
-    ≥threshold pair) and recall on near-identical pairs (sim ≥ 0.9, the
-    regime LSH is tuned for) must be 1."""
+    r5: the hyperplanes come from the md5 family
+    (functions/similarity.md5_planes), bit-identical to what DuckDB's
+    ``md5_number_lower`` reconstructs, so signatures, buckets, candidate
+    pairs and verified sims are exactly reproducible in SQL
+    (sql_oracle.Q_EMBED_NEARDUP_LSH) — same lever as minhash_pairs_docs /
+    fingerprint_docs. The SQL twin omits the ``max_bucket`` cap, valid
+    while the table fits one bucket-cap (gate scales: 500 rows ≤ 1000).
+
+    Gate-scale guard kept (independent of the oracle): precision must be 1
+    against brute force, and recall on near-identical pairs (sim ≥ 0.9,
+    the regime LSH is tuned for) must be 1."""
     from ..functions.similarity import _norm, cosine_pairs_lsh
 
     emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    out = cosine_pairs_lsh(emb, threshold=threshold)
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vec_a": pa.compute.cast(t["vec_a"], pa.int64()),
+                "vec_b": pa.compute.cast(t["vec_b"], pa.int64()),
+                "sim": pa.compute.round(
+                    pa.compute.cast(t["sim"], pa.float64()), 4,
+                    round_mode="half_towards_infinity",
+                ),
+            }
+        )
+
+    out = (
+        cosine_pairs_lsh(emb, threshold=threshold, plane_family="md5")
+        .map_batches(finish, batch_format="pyarrow")
+        .sort(["vec_a", "vec_b"])
+    )
     if emb.count() <= _GUARD_MAX_ROWS:
         import numpy as np
 

@@ -529,3 +529,41 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM sig a JOIN sig b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(CAST(a.s AS UBIGINT), CAST(b.s AS UBIGINT))) <= 3
 """
+
+# Embedding-LSH pair oracle: the hyperplanes are the md5 family
+# (functions/similarity.md5_planes — (md5_number_lower % 2^53)/2^52 - 1,
+# bit-exact float64 in both engines), so the 4×12-bit sign signatures,
+# buckets, candidate pairs and verified cosines are all reproducible.
+# sign(v·p) is computed from the RAW vector on both sides. The Ray side's
+# max_bucket cap (1000) is omitted here — valid while the table has ≤1000
+# rows (gate scales: 500); the in-query guard covers the rest.
+Q_EMBED_NEARDUP_LSH = r"""
+WITH dims AS (SELECT len(embedding) AS d FROM embeddings LIMIT 1),
+planes AS (
+  SELECT t.range AS tbl, p.range AS p,
+         list_transform(range(0, (SELECT d FROM dims)), j ->
+           CAST(md5_number_lower('lshp_' || t.range || '_' || p.range || '_' || j)
+                % 9007199254740992 AS DOUBLE) / 4503599627370496.0 - 1.0) AS plane
+  FROM range(0, 4) t, range(0, 12) p
+),
+sigs AS (
+  SELECT e.vec_id, pl.tbl,
+         SUM(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), pl.plane) > 0
+                  THEN 1 << pl.p ELSE 0 END) AS bucket
+  FROM embeddings e, planes pl
+  GROUP BY e.vec_id, pl.tbl
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM sigs a JOIN sigs b ON a.tbl = b.tbl AND a.bucket = b.bucket
+                          AND a.vec_id < b.vec_id
+)
+SELECT c.vec_a, c.vec_b,
+       round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                    CAST(eb.embedding AS DOUBLE[])), 4) AS sim
+FROM cand c
+JOIN embeddings ea ON ea.vec_id = c.vec_a
+JOIN embeddings eb ON eb.vec_id = c.vec_b
+WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                             CAST(eb.embedding AS DOUBLE[])) >= 0.35
+"""

@@ -72,3 +72,29 @@ def test_knn_ivf_recall():
         a = set(approx[approx["query_idx"] == qi]["vec_id"])
         recalls.append(len(e & a) / len(e))
     assert np.mean(recalls) >= 0.5  # nprobe=4/8 buckets → decent recall
+
+
+def test_md5_plane_family_matches_duckdb():
+    """The md5 hyperplane family (the embed_neardup_lsh oracle lever) must
+    be bit-exactly reproducible via DuckDB's md5_number_lower — the same
+    contract the SQL oracle (sql_oracle.Q_EMBED_NEARDUP_LSH) relies on."""
+    import duckdb
+
+    from node_shovel_ray.functions.similarity import md5_planes
+
+    planes = md5_planes(2, 3, 5)
+    got = duckdb.sql(
+        """
+        SELECT t.range, p.range,
+               list_transform(range(0, 5), j ->
+                 CAST(md5_number_lower('lshp_' || t.range || '_' || p.range || '_' || j)
+                      % 9007199254740992 AS DOUBLE) / 4503599627370496.0 - 1.0)
+        FROM range(0, 2) t, range(0, 3) p ORDER BY 1, 2
+        """
+    ).fetchall()
+    for t, p, vals in got:
+        assert planes[t, p].tolist() == vals
+    # symmetric about 0 and bounded — a valid sign-LSH direction family
+    big = md5_planes(4, 12, 64).ravel()
+    assert big.min() >= -1.0 and big.max() < 1.0
+    assert abs(big.mean()) < 0.05
