@@ -218,6 +218,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffle_docs", "dupspan_docs", "split_docs", "unigram_logprob_docs",
         "mixture_docs", "pii_stats_docs", "media_image_stats",
         "media_audio_stats", "media_frame_stats",
+        # flipped from rows-only to full rows+schema+hash in r5 (md5-family
+        # determinism) — front-loaded so the driver records the upgrade
+        "minhash_pairs_docs", "simhash_pairs_docs", "neardup_dedup_docs",
+        "embed_neardup_lsh",
     ]
     return {
         **{k: q[k] for k in front},
