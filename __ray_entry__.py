@@ -219,9 +219,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_docs", "pii_stats_docs", "media_image_stats",
         "media_audio_stats", "media_frame_stats",
         # flipped from rows-only to full rows+schema+hash in r5 (md5-family
-        # determinism) — front-loaded so the driver records the upgrade
+        # / quantized-quantizer determinism) — front-loaded so the driver
+        # records the upgrade
         "minhash_pairs_docs", "simhash_pairs_docs", "neardup_dedup_docs",
-        "embed_neardup_lsh",
+        "embed_neardup_lsh", "knn_ivf_vec0",
     ]
     return {
         **{k: q[k] for k in front},
@@ -244,6 +245,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs_docs": Q.Q_SIMHASH_PAIRS,
         "neardup_dedup_docs": Q.Q_NEARDUP_DEDUP,
         "embed_neardup_lsh": Q.Q_EMBED_NEARDUP_LSH,
+        "knn_ivf_vec0": Q.Q_KNN_IVF,
         "agg_pricing": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
@@ -632,10 +634,10 @@ def oracle_sql() -> dict[str, str]:
         "media_image_stats": media.Q_MEDIA_IMAGE,
         "media_audio_stats": media.Q_MEDIA_AUDIO,
         "media_frame_stats": media.Q_MEDIA_FRAMES,
-        # knn_ivf_vec0: the one remaining rows-only check — the k-means
-        # coarse quantizer is iterative float averaging, not reasonably
-        # SQL-reproducible; recall<1 vs brute force by design, asserted by
-        # the in-query recall guard (pipelines/corpus.py). Every other
-        # approximate op (minhash/simhash/embed-LSH/neardup removal) is
-        # md5-family-deterministic and fully oracle-paired above.
+        # r5: every registered query — including every approximate one
+        # (minhash/simhash/embed-LSH/neardup removal/IVF) — now has a full
+        # value-hash SQL oracle: the sketches via the md5 hash family, the
+        # IVF via the deterministic 9dp-quantized k-means twin
+        # (sql_oracle._knn_ivf_sql). Approximate-vs-exact recall is still
+        # separately asserted by the in-query guards (pipelines/corpus.py).
     }

@@ -350,6 +350,102 @@ def cosine_pairs_lsh(
     )
 
 
+def _round_away(x: np.ndarray, dp: int) -> np.ndarray:
+    """Round half AWAY from zero at ``dp`` decimals — bit-exact parity with
+    DuckDB's ``round(x, dp)`` on DOUBLE (verified on 200k random values;
+    numpy's np.round is half-even and would diverge)."""
+    p = 10.0 ** dp
+    return np.copysign(np.floor(np.abs(x) * p + 0.5), x) / p
+
+
+def knn_ivf_det(
+    ds: "ray.data.Dataset",
+    queries: np.ndarray,
+    k: int = 10,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_n: int = 2048,
+    concurrency=None,
+) -> pd.DataFrame:
+    """Deterministic IVF top-k — the SQL-oracle-checkable variant.
+
+    Same algorithm as :func:`knn_ivf` (k-means coarse quantizer, probe the
+    ``nprobe`` nearest cells, exact top-k inside the probed cells) but with
+    every float decision point quantized so DuckDB reproduces it exactly
+    (sql_oracle's knn-IVF oracle):
+
+    - init = the first ``n_clusters`` sample rows (id order), not a seeded
+      RNG draw;
+    - normalized vectors, per-iteration centroids/means, distances, and
+      dot products are all rounded half-away at 9 decimals
+      (:func:`_round_away` == DuckDB ``round``), so assignment argmins /
+      argmaxes see identical values in both engines, with ties broken by
+      the smallest cluster id in both;
+    - training assigns by euclidean argmin against raw means; the final
+      corpus assignment and probe choice use cosine argmax against the
+      normalized rounded centroids.
+
+    The quantizer trains on the first ``sample_n`` rows — the SQL twin
+    trains on the whole table, so the oracle contract requires
+    ``count(ds) <= sample_n`` (true at gate scales; at real scale the
+    oracle is a small-slice check, like every other sketch oracle).
+    Determinism also preserves the repo invariant that every operator is a
+    pure function of its input (retry/resume equality-safe).
+    """
+    sample = (
+        ds.select_columns([id_col, vec_col]).limit(sample_n).to_pandas()
+        .sort_values(id_col)
+    )
+    x = _round_away(_norm(np.stack(sample[vec_col].to_numpy()).astype(np.float64)), 9)
+    nc = min(n_clusters, len(x))
+    cent = x[:nc].copy()
+    for _ in range(iters):
+        dist = _round_away(
+            np.sqrt(((x[:, None, :] - cent[None, :, :]) ** 2).sum(-1)), 9
+        )
+        lab = dist.argmin(1)  # first min == smallest cluster id on ties
+        for c in range(nc):
+            m = x[lab == c]
+            if len(m):
+                cent[c] = _round_away(m.mean(0), 9)
+    cent = _round_away(_norm(cent), 9)
+
+    q = _round_away(_norm(np.asarray(queries, dtype=np.float64)), 9)[0]
+    cdots = _round_away(cent @ q, 9)
+    order = np.lexsort((np.arange(nc), -cdots))  # dot DESC, cluster ASC
+    probe_arr = np.sort(order[:nprobe])
+
+    def assign_filter_topk(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy()
+        m = _round_away(_norm(_to_matrix(batch[vec_col])), 9)
+        lab = _round_away(m @ cent.T, 9).argmax(1)  # first max == smallest c
+        mask = np.isin(lab, probe_arr)
+        ids, m = ids[mask], m[mask]
+        s = _round_away(m @ q, 9)
+        if len(s) > k:
+            top = np.lexsort((ids, -s))[:k]  # sim DESC, id ASC
+            ids, s = ids[top], s[top]
+        return pa.table(
+            {id_col: pa.array(ids), "sim_raw": pa.array(s, pa.float64())}
+        )
+
+    cand = (
+        ds.select_columns([id_col, vec_col])
+        .map_batches(assign_filter_topk, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out = (
+        cand.sort_values(["sim_raw", id_col], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    out["sim"] = _round_away(out.pop("sim_raw").to_numpy(), 4)
+    return out
+
+
 def _kmeans(x: np.ndarray, n_clusters: int, iters: int = 10, seed: int = 42) -> np.ndarray:
     rng = np.random.default_rng(seed)
     cent = x[rng.choice(len(x), size=min(n_clusters, len(x)), replace=False)]

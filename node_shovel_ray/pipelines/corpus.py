@@ -1051,8 +1051,17 @@ def knn_vec0(sf_dir: str) -> pa.Table:
 
 
 def knn_ivf_vec0(sf_dir: str) -> pa.Table:
+    """IVF approximate top-10 for vec_id=0 — r5: the DETERMINISTIC
+    quantizer (functions/similarity.knn_ivf_det: first-k init, 9dp
+    half-away quantization at every float decision point), which makes the
+    whole approximate pipeline — k-means training, probe choice, cell
+    assignment, pruned top-k — exactly reproducible in SQL
+    (sql_oracle.Q_KNN_IVF, the unrolled-iteration twin). Flips the last
+    rows-only registry entry to a full value-hash oracle."""
+    from ..functions.similarity import knn_ivf_det
+
     emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    got = knn_ivf(
+    got = knn_ivf_det(
         emb,
         _query_vec(sf_dir),
         k=10,
@@ -1072,9 +1081,6 @@ def knn_ivf_vec0(sf_dir: str) -> pa.Table:
     return pa.table(
         {
             "vec_id": pa.array(got["vec_id"], pa.int64()),
-            "sim": pa.compute.round(
-                pa.array(got["sim"].to_numpy(), pa.float64()), 4,
-                round_mode="half_towards_infinity",
-            ),
+            "sim": pa.array(got["sim"].to_numpy(), pa.float64()),
         }
     )

@@ -567,3 +567,86 @@ JOIN embeddings eb ON eb.vec_id = c.vec_b
 WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
                              CAST(eb.embedding AS DOUBLE[])) >= 0.35
 """
+
+
+def _knn_ivf_sql(n_clusters: int = 16, nprobe: int = 6, k: int = 10,
+                 iters: int = 10) -> str:
+    """SQL twin of functions/similarity.knn_ivf_det — the k-means
+    iterations are UNROLLED as a chain of CTEs (asg{i}/cm{i}/cent{i}),
+    since the iteration count is a compile-time constant (same move as
+    _minhash_pairs_sql's permutation unroll).
+
+    Exactness contract (see knn_ivf_det's docstring): every float decision
+    point is quantized via round(x, 9) == numpy _round_away(x, 9) on
+    identical inputs, so argmin/argmax choices and tie-breaks (smallest
+    cluster id) agree between engines. Valid while the table fits the
+    Ray side's training sample (count <= sample_n)."""
+    parts = [f"""
+WITH xn AS MATERIALIZED (
+  SELECT vec_id, list_transform(de, v -> round(v / nrm, 9)) AS e
+  FROM (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de,
+           sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                 CAST(embedding AS DOUBLE[]))) AS nrm
+    FROM embeddings
+  )
+),
+cent0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, e AS cent
+  FROM xn ORDER BY vec_id LIMIT {n_clusters}
+)"""]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+asg{i} AS MATERIALIZED (
+  SELECT vec_id, c FROM (
+    SELECT x.vec_id, t.c,
+           row_number() OVER (PARTITION BY x.vec_id
+             ORDER BY round(list_distance(x.e, t.cent), 9) ASC, t.c ASC) AS rn
+    FROM xn x CROSS JOIN cent{i - 1} t
+  ) WHERE rn = 1
+),
+cm{i} AS MATERIALIZED (
+  SELECT c, list(m ORDER BY pos) AS cent FROM (
+    SELECT c, pos, round(avg(val), 9) AS m FROM (
+      SELECT a.c, generate_subscripts(x.e, 1) AS pos, unnest(x.e) AS val
+      FROM asg{i} a JOIN xn x USING (vec_id)
+    ) GROUP BY c, pos
+  ) GROUP BY c
+)""")
+        parts.append(f""",
+cent{i} AS MATERIALIZED (
+  SELECT t.c, COALESCE(n.cent, t.cent) AS cent
+  FROM cent{i - 1} t LEFT JOIN cm{i} n USING (c)
+)""")
+    parts.append(f""",
+centn AS MATERIALIZED (
+  SELECT c, list_transform(cent, v -> round(v / sqrt(list_dot_product(cent, cent)), 9)) AS cent
+  FROM cent{iters}
+),
+qv AS (SELECT e FROM xn WHERE vec_id = 0),
+probes AS (
+  SELECT c FROM (
+    SELECT t.c, row_number() OVER (
+      ORDER BY round(list_dot_product(t.cent, (SELECT e FROM qv)), 9) DESC,
+               t.c ASC) AS rn
+    FROM centn t
+  ) WHERE rn <= {nprobe}
+),
+assign_all AS (
+  SELECT vec_id, c FROM (
+    SELECT x.vec_id, t.c,
+           row_number() OVER (PARTITION BY x.vec_id
+             ORDER BY round(list_dot_product(x.e, t.cent), 9) DESC, t.c ASC) AS rn
+    FROM xn x CROSS JOIN centn t
+  ) WHERE rn = 1
+)
+SELECT vec_id, round(s, 4) AS sim FROM (
+  SELECT x.vec_id, round(list_dot_product(x.e, (SELECT e FROM qv)), 9) AS s
+  FROM xn x JOIN assign_all a USING (vec_id)
+  WHERE a.c IN (SELECT c FROM probes)
+)
+ORDER BY s DESC, vec_id ASC LIMIT {k}""")
+    return "".join(parts)
+
+
+Q_KNN_IVF = _knn_ivf_sql()

@@ -98,3 +98,19 @@ def test_md5_plane_family_matches_duckdb():
     big = md5_planes(4, 12, 64).ravel()
     assert big.min() >= -1.0 and big.max() < 1.0
     assert abs(big.mean()) < 0.05
+
+
+def test_knn_ivf_det_recall_and_determinism():
+    """The deterministic (SQL-oracle-checkable) IVF variant: same recall
+    bound as the seeded one, and bit-identical across runs (the property
+    the quantized k-means exists for)."""
+    from node_shovel_ray.functions.similarity import knn_ivf_det
+
+    t, mat, ids = _corpus()
+    q = mat[5:6]
+    exact = knn_brute_force(rd.from_arrow(t), q, k=10, concurrency=2)
+    a = knn_ivf_det(rd.from_arrow(t), q, k=10, n_clusters=8, nprobe=4)
+    b = knn_ivf_det(rd.from_arrow(t), q, k=10, n_clusters=8, nprobe=4)
+    assert a.equals(b)
+    e = set(exact[exact["query_idx"] == 0]["vec_id"])
+    assert len(e & set(a["vec_id"])) / len(e) >= 0.5
