@@ -59,6 +59,33 @@ def test_spool_seal_rotation_and_commit(tmp_path):
     assert sealed_shards(str(tmp_path)) == ["shard-000003.parquet"]
 
 
+def test_spool_concurrent_appends_lose_nothing(ray_session, tmp_path):
+    # the seal path double-buffers (swap under the lock, parquet write
+    # outside it) so sealing never stalls receivers — this pins that no
+    # row is lost or duplicated when many threads append across many
+    # rotations, including a concurrent explicit seal()
+    sp = SpoolWriter(str(tmp_path), max_records=97)  # non-divisor rotation
+    n_threads, per_thread = 8, 5_000
+
+    def writer(tid: int) -> None:
+        for i in range(per_thread):
+            sp.append({"source": f"{tid}:{i}"})
+
+    threads = [
+        threading.Thread(target=writer, args=(t,)) for t in range(n_threads)
+    ]
+    for t in threads:
+        t.start()
+    sp.seal()  # race an explicit seal against the appenders
+    for t in threads:
+        t.join()
+    sp.seal()
+    ds, _ = drain_spool(str(tmp_path))
+    got = [r["source"] for r in ds.take_all()]
+    assert len(got) == n_threads * per_thread
+    assert len(set(got)) == n_threads * per_thread  # no duplicates either
+
+
 def test_spool_fifo_eviction(tmp_path):
     # reference queue load shedding (src/queues/batch.js:182-195): at
     # queue_size capacity the OLDEST buffered row is evicted and counted
