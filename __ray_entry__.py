@@ -121,6 +121,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return sink_counts(_routed(sf_dir))
 
     q = {
+        # exact-size deterministic global sample (new in r5 — first so the
+        # driver's gate window covers it on its first run)
+        "sample_docs_topn": corpus.sample_docs_topn,
         # flagship transcript DAG (oracle-checked end to end)
         "transcriptify": q_transcripts,
         "parse": q_parse,
@@ -417,6 +420,7 @@ def oracle_sql() -> dict[str, str]:
         "approx_distinct_users_per_type": Q.Q_APPROX_DISTINCT_USERS,
         "sample_docs_per_lang": Q.Q_SAMPLE_DOCS_PER_LANG,
         "sample_docs_fraction": Q.Q_SAMPLE_DOCS_FRACTION,
+        "sample_docs_topn": Q.Q_SAMPLE_DOCS_TOPN,
         "hash_join_events_customers": """
             SELECT event_id, user_id, c_mktsegment
             FROM events JOIN customer ON user_id = c_custkey

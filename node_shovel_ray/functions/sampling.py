@@ -139,6 +139,35 @@ def mixture_sample(
     return ds.map_batches(keep, batch_format="pandas")
 
 
+def sample_topn(
+    ds: "ray.data.Dataset",
+    n: int,
+    id_col: str,
+    hash_fn: str = "md5",
+) -> "ray.data.Dataset":
+    """Exact-SIZE deterministic global sample: the ``n`` rows with the
+    smallest ``(hash(id) >> 1, id)`` — "give me exactly 200k docs,
+    reproducibly" (Bernoulli gives a binomial count, not an exact one).
+
+    Scale shape: partial top-n per block first, so the one sort exchange
+    sees ≤ n × blocks rows, never the corpus (the topk_orders plan). The
+    hash is shifted right one bit because the sort key must be int64 —
+    Ray's sort-boundary sampling round-trips key samples through Python
+    and overflows on uint64 values ≥ 2⁶³ (CLAUDE.md) — and ``h >> 1``
+    keeps an order BOTH engines can express exactly (SQL twin:
+    ``md5_number_lower(id) // 2``); ``id`` breaks the doubled ties.
+    """
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        h = _hash_ids(df[id_col].to_numpy(), hash_fn)
+        df["_h"] = (h >> np.uint64(1)).astype(np.int64)
+        return df.sort_values(["_h", id_col], kind="mergesort").head(n)
+
+    pruned = ds.map_batches(partial, batch_format="pandas")
+    return pruned.sort(["_h", id_col]).limit(n).drop_columns(["_h"])
+
+
 def sample_per_group(
     ds: "ray.data.Dataset",
     group_col: str,

@@ -183,6 +183,16 @@ def sample_docs_fraction(sf_dir: str, p: float = 0.2) -> "rd.Dataset":
     return sample_fraction(_docs(sf_dir, ["doc_id", "lang"]), p=p, id_col="doc_id")
 
 
+def sample_docs_topn(sf_dir: str, n: int = 200) -> "rd.Dataset":
+    """Exact-size deterministic global sample — the n docs with the
+    smallest (md5(doc_id) >> 1, doc_id). The "exactly N documents" cut a
+    data-mixture spec asks for (Bernoulli only hits N in expectation);
+    fully oracle-paired via SQL row_number over the same shifted hash."""
+    from ..functions.sampling import sample_topn
+
+    return sample_topn(_docs(sf_dir, ["doc_id", "lang"]), n=n, id_col="doc_id")
+
+
 def curated_docs(sf_dir: str, min_quality: float = 0.4, k: int = 10) -> "rd.Dataset":
     """The corpus-curation FLAGSHIP: the composed training-data pipeline a
     100 TB run actually executes —

@@ -297,6 +297,19 @@ WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) < {fraction_threshold(p)}
 
 Q_SAMPLE_DOCS_FRACTION = _sample_fraction_sql()
 
+# exact-size global sample (functions/sampling.sample_topn): the engine
+# sorts on md5 >> 1 (int64-safe Dataset sort key), so the twin orders by
+# the same halved hash — `// 2` on DuckDB's unsigned md5_number_lower
+Q_SAMPLE_DOCS_TOPN = """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+    row_number() OVER (
+      ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)) // 2, doc_id
+    ) AS rn
+  FROM documents
+) WHERE rn <= 200
+"""
+
 
 # Histogram quantile sketch twin (functions/sketches.grouped_hist_quantile):
 # same float64 binning, integer cumsum threshold, lower-edge estimate.

@@ -11,6 +11,7 @@ from node_shovel_ray.functions.sampling import (
     fraction_threshold,
     sample_fraction,
     sample_per_group,
+    sample_topn,
 )
 
 
@@ -101,6 +102,25 @@ def test_mixture_sample_rates_and_monotonicity(ray_session):
         default_rate=1.0,
     ).to_pandas()
     assert (all_s2.groupby("src").size()[["s1", "s2"]] == n // 3).all()
+
+
+def test_sample_topn_exact_size_and_layout_independent(ray_session):
+    t = _docs(300)
+    one_block = sample_topn(rd.from_arrow(t), n=40, id_col="doc_id").to_pandas()
+    many = sample_topn(
+        rd.from_arrow(t).repartition(13), n=40, id_col="doc_id"
+    ).to_pandas()
+    a = one_block.sort_values("doc_id").reset_index(drop=True)
+    b = many.sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)  # membership independent of block layout
+    assert len(a) == 40  # EXACT size, not binomial
+    # python oracle: the 40 smallest (md5 >> 1, id)
+    from node_shovel_ray.functions.sketches import md5_lower64
+
+    df = t.to_pandas()
+    df["_h"] = md5_lower64(df["doc_id"].to_numpy()) >> np.uint64(1)
+    want = df.sort_values(["_h", "doc_id"]).head(40)
+    assert set(a["doc_id"]) == set(want["doc_id"])
 
 
 def test_sample_per_group_layout_independent(ray_session):
