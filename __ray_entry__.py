@@ -121,9 +121,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return sink_counts(_routed(sf_dir))
 
     q = {
-        # exact-size deterministic global sample (new in r5 — first so the
-        # driver's gate window covers it on its first run)
+        # new in r5, front-loaded so the driver's gate window covers them
+        # on its first run: exact-size global sample + embedding k-means
         "sample_docs_topn": corpus.sample_docs_topn,
+        "cluster_embeddings": corpus.cluster_embeddings,
         # flagship transcript DAG (oracle-checked end to end)
         "transcriptify": q_transcripts,
         "parse": q_parse,
@@ -421,6 +422,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_docs_per_lang": Q.Q_SAMPLE_DOCS_PER_LANG,
         "sample_docs_fraction": Q.Q_SAMPLE_DOCS_FRACTION,
         "sample_docs_topn": Q.Q_SAMPLE_DOCS_TOPN,
+        "cluster_embeddings": Q.Q_CLUSTER_EMBEDDINGS,
         "hash_join_events_customers": """
             SELECT event_id, user_id, c_mktsegment
             FROM events JOIN customer ON user_id = c_custkey

@@ -358,6 +358,83 @@ def _round_away(x: np.ndarray, dp: int) -> np.ndarray:
     return np.copysign(np.floor(np.abs(x) * p + 0.5), x) / p
 
 
+def train_det_quantizer(
+    ds: "ray.data.Dataset",
+    n_clusters: int,
+    iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_n: int = 2048,
+) -> np.ndarray:
+    """The deterministic 9dp-quantized k-means trainer shared by
+    :func:`knn_ivf_det` and :func:`kmeans_assign_det` — every float
+    decision point rounded half-away at 9 decimals (== DuckDB
+    ``round(x, 9)``), first-k init in id order, ties to the smallest
+    cluster id; see knn_ivf_det's docstring for the exactness contract.
+    Returns the normalized rounded centroid matrix (n_clusters × d)."""
+    sample = (
+        ds.select_columns([id_col, vec_col]).limit(sample_n).to_pandas()
+        .sort_values(id_col)
+    )
+    x = _round_away(_norm(np.stack(sample[vec_col].to_numpy()).astype(np.float64)), 9)
+    nc = min(n_clusters, len(x))
+    cent = x[:nc].copy()
+    for _ in range(iters):
+        dist = _round_away(
+            np.sqrt(((x[:, None, :] - cent[None, :, :]) ** 2).sum(-1)), 9
+        )
+        lab = dist.argmin(1)  # first min == smallest cluster id on ties
+        for c in range(nc):
+            m = x[lab == c]
+            if len(m):
+                cent[c] = _round_away(m.mean(0), 9)
+    return _round_away(_norm(cent), 9)
+
+
+def kmeans_assign_det(
+    ds: "ray.data.Dataset",
+    n_clusters: int = 16,
+    iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_n: int = 2048,
+) -> "ray.data.Dataset":
+    """Embedding k-means clustering as a first-class operator: every
+    vector labeled with its cosine-nearest deterministic centroid — the
+    cluster pass a curation pipeline runs for cluster-balanced mixing or
+    cluster-level dedup (SemDeDup-style).
+
+    Scale shape: the quantizer trains on a driver-side ``sample_n`` slice
+    (n_clusters × d floats), then assignment is an embarrassingly
+    parallel streaming ``map_batches`` with the centroid matrix shipped
+    in the task closure — no shuffle, no corpus materialization.
+    Oracle: the same unrolled k-means CTE chain as the IVF twin
+    (pipelines/sql_oracle._kmeans_chain_sql), assignment tail only.
+    """
+    cent = train_det_quantizer(
+        ds, n_clusters, iters=iters, id_col=id_col, vec_col=vec_col,
+        sample_n=sample_n,
+    )
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy()
+        m = _round_away(_norm(_to_matrix(batch[vec_col])), 9)
+        d9 = _round_away(m @ cent.T, 9)
+        lab = d9.argmax(1)  # first max == smallest cluster id on ties
+        sim = _round_away(np.take_along_axis(d9, lab[:, None], 1)[:, 0], 4)
+        return pa.table(
+            {
+                id_col: pa.array(ids),
+                "cluster": pa.array(lab.astype(np.int64)),
+                "sim": pa.array(sim, pa.float64()),
+            }
+        )
+
+    return ds.select_columns([id_col, vec_col]).map_batches(
+        assign, batch_format="pyarrow"
+    )
+
+
 def knn_ivf_det(
     ds: "ray.data.Dataset",
     queries: np.ndarray,
@@ -395,27 +472,14 @@ def knn_ivf_det(
     Determinism also preserves the repo invariant that every operator is a
     pure function of its input (retry/resume equality-safe).
     """
-    sample = (
-        ds.select_columns([id_col, vec_col]).limit(sample_n).to_pandas()
-        .sort_values(id_col)
+    cent = train_det_quantizer(
+        ds, n_clusters, iters=iters, id_col=id_col, vec_col=vec_col,
+        sample_n=sample_n,
     )
-    x = _round_away(_norm(np.stack(sample[vec_col].to_numpy()).astype(np.float64)), 9)
-    nc = min(n_clusters, len(x))
-    cent = x[:nc].copy()
-    for _ in range(iters):
-        dist = _round_away(
-            np.sqrt(((x[:, None, :] - cent[None, :, :]) ** 2).sum(-1)), 9
-        )
-        lab = dist.argmin(1)  # first min == smallest cluster id on ties
-        for c in range(nc):
-            m = x[lab == c]
-            if len(m):
-                cent[c] = _round_away(m.mean(0), 9)
-    cent = _round_away(_norm(cent), 9)
 
     q = _round_away(_norm(np.asarray(queries, dtype=np.float64)), 9)[0]
     cdots = _round_away(cent @ q, 9)
-    order = np.lexsort((np.arange(nc), -cdots))  # dot DESC, cluster ASC
+    order = np.lexsort((np.arange(len(cent)), -cdots))  # dot DESC, cluster ASC
     probe_arr = np.sort(order[:nprobe])
 
     def assign_filter_topk(batch: pa.Table) -> pa.Table:

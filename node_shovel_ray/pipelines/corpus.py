@@ -1060,6 +1060,19 @@ def knn_vec0(sf_dir: str) -> pa.Table:
     )
 
 
+def cluster_embeddings(sf_dir: str, n_clusters: int = 16) -> "rd.Dataset":
+    """Embedding k-means clustering — every vector labeled with its
+    cosine-nearest deterministic centroid plus the similarity to it (the
+    cluster pass for cluster-balanced mixing / SemDeDup-style cluster
+    dedup). Streaming assignment over broadcast centroids; fully
+    oracle-paired via the shared unrolled k-means chain
+    (sql_oracle.Q_CLUSTER_EMBEDDINGS)."""
+    from ..functions.similarity import kmeans_assign_det
+
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return kmeans_assign_det(emb, n_clusters=n_clusters)
+
+
 def knn_ivf_vec0(sf_dir: str) -> pa.Table:
     """IVF approximate top-10 for vec_id=0 — r5: the DETERMINISTIC
     quantizer (functions/similarity.knn_ivf_det: first-k init, 9dp

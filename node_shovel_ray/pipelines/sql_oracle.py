@@ -582,18 +582,17 @@ WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
 """
 
 
-def _knn_ivf_sql(n_clusters: int = 16, nprobe: int = 6, k: int = 10,
-                 iters: int = 10) -> str:
-    """SQL twin of functions/similarity.knn_ivf_det — the k-means
-    iterations are UNROLLED as a chain of CTEs (asg{i}/cm{i}/cent{i}),
-    since the iteration count is a compile-time constant (same move as
-    _minhash_pairs_sql's permutation unroll).
+def _kmeans_chain_sql(n_clusters: int, iters: int) -> str:
+    """The unrolled deterministic-k-means CTE chain (xn … centn) shared by
+    the knn-IVF twin and the clustering twin — iterations UNROLLED as
+    asg{{i}}/cm{{i}}/cent{{i}} since the count is a compile-time constant
+    (same move as _minhash_pairs_sql's permutation unroll).
 
-    Exactness contract (see knn_ivf_det's docstring): every float decision
-    point is quantized via round(x, 9) == numpy _round_away(x, 9) on
-    identical inputs, so argmin/argmax choices and tie-breaks (smallest
-    cluster id) agree between engines. Valid while the table fits the
-    Ray side's training sample (count <= sample_n)."""
+    Exactness contract (functions/similarity.knn_ivf_det docstring):
+    every float decision point is quantized via round(x, 9) == numpy
+    _round_away(x, 9) on identical inputs, so argmin/argmax choices and
+    tie-breaks (smallest cluster id) agree between engines. Valid while
+    the table fits the Ray side's training sample (count <= sample_n)."""
     parts = [f"""
 WITH xn AS MATERIALIZED (
   SELECT vec_id, list_transform(de, v -> round(v / nrm, 9)) AS e
@@ -635,7 +634,15 @@ cent{i} AS MATERIALIZED (
 centn AS MATERIALIZED (
   SELECT c, list_transform(cent, v -> round(v / sqrt(list_dot_product(cent, cent)), 9)) AS cent
   FROM cent{iters}
-),
+)""")
+    return "".join(parts)
+
+
+def _knn_ivf_sql(n_clusters: int = 16, nprobe: int = 6, k: int = 10,
+                 iters: int = 10) -> str:
+    """SQL twin of functions/similarity.knn_ivf_det: the shared k-means
+    chain + probe-and-top-k tail."""
+    return _kmeans_chain_sql(n_clusters, iters) + f""",
 qv AS (SELECT e FROM xn WHERE vec_id = 0),
 probes AS (
   SELECT c FROM (
@@ -658,8 +665,24 @@ SELECT vec_id, round(s, 4) AS sim FROM (
   FROM xn x JOIN assign_all a USING (vec_id)
   WHERE a.c IN (SELECT c FROM probes)
 )
-ORDER BY s DESC, vec_id ASC LIMIT {k}""")
-    return "".join(parts)
+ORDER BY s DESC, vec_id ASC LIMIT {k}"""
 
 
 Q_KNN_IVF = _knn_ivf_sql()
+
+
+def _cluster_embeddings_sql(n_clusters: int = 16, iters: int = 10) -> str:
+    """SQL twin of functions/similarity.kmeans_assign_det: the shared
+    k-means chain + per-vector cosine-argmax assignment tail (sim = the
+    dot against the OWN centroid, rounded like the engine's output)."""
+    return _kmeans_chain_sql(n_clusters, iters) + """
+SELECT vec_id, c AS cluster, round(s, 4) AS sim FROM (
+  SELECT x.vec_id, t.c,
+         round(list_dot_product(x.e, t.cent), 9) AS s,
+         row_number() OVER (PARTITION BY x.vec_id
+           ORDER BY round(list_dot_product(x.e, t.cent), 9) DESC, t.c ASC) AS rn
+  FROM xn x CROSS JOIN centn t
+) WHERE rn = 1"""
+
+
+Q_CLUSTER_EMBEDDINGS = _cluster_embeddings_sql()

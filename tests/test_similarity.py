@@ -114,3 +114,32 @@ def test_knn_ivf_det_recall_and_determinism():
     assert a.equals(b)
     e = set(exact[exact["query_idx"] == 0]["vec_id"])
     assert len(e & set(a["vec_id"])) / len(e) >= 0.5
+
+
+def test_kmeans_assign_det_partition_and_layout():
+    """Embedding clustering: every vector gets exactly one label, labels
+    are deterministic and block-layout-independent, and each vector's
+    centroid is its true cosine argmax (numpy oracle)."""
+    from node_shovel_ray.functions.similarity import (
+        _round_away,
+        kmeans_assign_det,
+        train_det_quantizer,
+    )
+
+    t, mat, ids = _corpus()
+    a = kmeans_assign_det(rd.from_arrow(t), n_clusters=8).to_pandas()
+    b = kmeans_assign_det(
+        rd.from_arrow(t).repartition(7), n_clusters=8
+    ).to_pandas()
+    a = a.sort_values("vec_id").reset_index(drop=True)
+    b = b.sort_values("vec_id").reset_index(drop=True)
+    assert a.equals(b)  # layout-independent
+    assert len(a) == len(ids) and a["vec_id"].is_unique  # a partition
+    assert a["cluster"].between(0, 7).all()
+    assert a["cluster"].nunique() > 1  # not degenerate
+    # numpy oracle for the assignment step
+    cent = train_det_quantizer(rd.from_arrow(t), 8)
+    m = _round_away(_norm(mat.copy()), 9)
+    d9 = _round_away(m @ cent.T, 9)
+    want = dict(zip(ids, d9.argmax(1)))
+    assert all(want[v] == c for v, c in zip(a["vec_id"], a["cluster"]))
