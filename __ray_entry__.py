@@ -125,6 +125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # on its first run: exact-size global sample + embedding k-means
         "sample_docs_topn": corpus.sample_docs_topn,
         "cluster_embeddings": corpus.cluster_embeddings,
+        "semdedup_embeddings": corpus.semdedup_embeddings,
         # flagship transcript DAG (oracle-checked end to end)
         "transcriptify": q_transcripts,
         "parse": q_parse,
@@ -423,6 +424,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_docs_fraction": Q.Q_SAMPLE_DOCS_FRACTION,
         "sample_docs_topn": Q.Q_SAMPLE_DOCS_TOPN,
         "cluster_embeddings": Q.Q_CLUSTER_EMBEDDINGS,
+        "semdedup_embeddings": Q.Q_SEMDEDUP_EMBEDDINGS,
         "hash_join_events_customers": """
             SELECT event_id, user_id, c_mktsegment
             FROM events JOIN customer ON user_id = c_custkey

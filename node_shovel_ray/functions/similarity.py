@@ -435,6 +435,78 @@ def kmeans_assign_det(
     )
 
 
+def semdedup(
+    ds: "ray.data.Dataset",
+    n_clusters: int = 16,
+    tau: float = 0.35,
+    iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_n: int = 2048,
+    num_blocks: int | None = None,
+) -> "ray.data.Dataset":
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
+    cluster embeddings with the deterministic quantizer, then WITHIN each
+    cluster drop every vector that has an earlier (smaller-id) neighbor
+    with cosine ≥ ``tau``. Cross-cluster near-dups are not compared —
+    that is SemDeDup's approximation, which is what makes it scale.
+
+    The drop rule is one-pass and independent of the neighbor's own drop
+    status (v goes if ANY u < v is close, survivor or not) — deterministic,
+    order-free, and exactly expressible as SQL NOT EXISTS
+    (sql_oracle.Q_SEMDEDUP_EMBEDDINGS, over the shared k-means chain).
+
+    Scale shape: one keyed exchange on the cluster id (vectors ride as a
+    d-float list column), one vectorized pairwise pass per cluster.
+    Per-cluster work is O(s²·d) — at corpus scale you raise ``n_clusters``
+    so the expected cluster size stays bounded (SemDeDup runs ~100k
+    clusters at billions of docs); cluster-size skew is the operative
+    partitioning assumption, logged nowhere silently because nothing is
+    capped — every vector is compared within its full cluster.
+    """
+    cent = train_det_quantizer(
+        ds, n_clusters, iters=iters, id_col=id_col, vec_col=vec_col,
+        sample_n=sample_n,
+    )
+
+    def assign_vec(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy()
+        m = _round_away(_norm(_to_matrix(batch[vec_col])), 9)
+        lab = _round_away(m @ cent.T, 9).argmax(1)
+        return pa.table(
+            {
+                id_col: pa.array(ids),
+                "cluster": pa.array(lab.astype(np.int64)),
+                # normalized 9dp-quantized vectors ride to the exchange so
+                # the per-cluster pass needs no second corpus read
+                "_e": pa.array(list(m)),
+            }
+        )
+
+    assigned = ds.select_columns([id_col, vec_col]).map_batches(
+        assign_vec, batch_format="pyarrow"
+    )
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, g in df.groupby("cluster", sort=False):
+            g = g.sort_values(id_col, kind="mergesort")
+            m = np.stack(g["_e"].to_numpy())
+            s = _round_away(m @ m.T, 9)
+            # v is a dup if any u (row index < v's) has sim >= tau
+            dup = np.triu(s >= tau, k=1).any(axis=0)
+            outs.append(g.loc[~dup, [id_col, "cluster"]])
+        return (
+            pd.concat(outs)
+            if outs
+            else df[[id_col, "cluster"]].iloc[:0]
+        )
+
+    from ..stages.keyed import keyed_map_blocks
+
+    return keyed_map_blocks(assigned, ["cluster"], prune, num_blocks=num_blocks)
+
+
 def knn_ivf_det(
     ds: "ray.data.Dataset",
     queries: np.ndarray,

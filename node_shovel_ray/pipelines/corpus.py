@@ -1073,6 +1073,17 @@ def cluster_embeddings(sf_dir: str, n_clusters: int = 16) -> "rd.Dataset":
     return kmeans_assign_det(emb, n_clusters=n_clusters)
 
 
+def semdedup_embeddings(sf_dir: str, tau: float = 0.35) -> "rd.Dataset":
+    """SemDeDup-style semantic dedup over the embeddings table: cluster
+    with the deterministic quantizer, drop within-cluster near-dups
+    (cosine ≥ tau, keep the smallest vec_id). Survivors + their cluster;
+    fully oracle-paired (sql_oracle.Q_SEMDEDUP_EMBEDDINGS)."""
+    from ..functions.similarity import semdedup
+
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return semdedup(emb, tau=tau)
+
+
 def knn_ivf_vec0(sf_dir: str) -> pa.Table:
     """IVF approximate top-10 for vec_id=0 — r5: the DETERMINISTIC
     quantizer (functions/similarity.knn_ivf_det: first-k init, 9dp

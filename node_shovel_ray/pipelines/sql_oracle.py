@@ -686,3 +686,30 @@ SELECT vec_id, c AS cluster, round(s, 4) AS sim FROM (
 
 
 Q_CLUSTER_EMBEDDINGS = _cluster_embeddings_sql()
+
+
+def _semdedup_sql(n_clusters: int = 16, tau: float = 0.35,
+                  iters: int = 10) -> str:
+    """SQL twin of functions/similarity.semdedup: shared k-means chain +
+    argmax assignment + the one-pass drop rule as NOT EXISTS (v is
+    dropped iff ANY smaller-id vector in the SAME cluster has
+    round(dot, 9) >= tau, survivor or not)."""
+    return _kmeans_chain_sql(n_clusters, iters) + f""",
+asgn AS MATERIALIZED (
+  SELECT vec_id, c FROM (
+    SELECT x.vec_id, t.c,
+           row_number() OVER (PARTITION BY x.vec_id
+             ORDER BY round(list_dot_product(x.e, t.cent), 9) DESC, t.c ASC) AS rn
+    FROM xn x CROSS JOIN centn t
+  ) WHERE rn = 1
+)
+SELECT a.vec_id, a.c AS cluster
+FROM asgn a JOIN xn x ON a.vec_id = x.vec_id
+WHERE NOT EXISTS (
+  SELECT 1 FROM asgn b JOIN xn y ON b.vec_id = y.vec_id
+  WHERE b.c = a.c AND b.vec_id < a.vec_id
+    AND round(list_dot_product(x.e, y.e), 9) >= CAST({tau} AS DOUBLE)
+)"""
+
+
+Q_SEMDEDUP_EMBEDDINGS = _semdedup_sql()

@@ -143,3 +143,37 @@ def test_kmeans_assign_det_partition_and_layout():
     d9 = _round_away(m @ cent.T, 9)
     want = dict(zip(ids, d9.argmax(1)))
     assert all(want[v] == c for v, c in zip(a["vec_id"], a["cluster"]))
+
+
+def test_semdedup_drop_rule_and_layout():
+    """SemDeDup within-cluster prune: layout-independent, keeps smallest
+    id, and matches the numpy drop rule (v dropped iff any u < v in the
+    SAME cluster has round-9 cosine >= tau)."""
+    from node_shovel_ray.functions.similarity import (
+        _round_away,
+        semdedup,
+        train_det_quantizer,
+    )
+
+    t, mat, ids = _corpus()
+    tau = 0.35
+    a = semdedup(rd.from_arrow(t), tau=tau).to_pandas()
+    b = semdedup(rd.from_arrow(t).repartition(7), tau=tau).to_pandas()
+    a = a.sort_values("vec_id").reset_index(drop=True)
+    b = b.sort_values("vec_id").reset_index(drop=True)
+    assert a.equals(b)
+    assert 0 < len(a) < len(ids)  # some drops, not all
+    # numpy oracle
+    cent = train_det_quantizer(rd.from_arrow(t), 16)
+    order = np.argsort(ids, kind="mergesort")
+    m = _round_away(_norm(mat.copy()), 9)[order]
+    sid = ids[order]
+    lab = _round_away(m @ cent.T, 9).argmax(1)
+    keep = []
+    for i in range(len(sid)):
+        near = (
+            _round_away(m[:i][lab[:i] == lab[i]] @ m[i], 9) >= tau
+        ).any()
+        if not near:
+            keep.append(sid[i])
+    assert set(a["vec_id"]) == set(keep)
