@@ -299,6 +299,11 @@ def cosine_pairs_lsh(
         mraw = _to_matrix(batch[vec_col])
         m = _norm(mraw)
         outs = []
+        # flat-buffer list build: pa.array(list(m)) walks a Python object
+        # per row (×n_tables) and dominates large batches
+        vec_arr = pa.FixedSizeListArray.from_arrays(
+            pa.array(m.reshape(-1)), m.shape[1]
+        ).cast(pa.list_(pa.float64()))
         for t in range(n_tables):
             signs = (mraw @ planes[t].T) > 0  # (n, n_planes)
             buck = signs @ (1 << np.arange(n_planes))
@@ -308,7 +313,7 @@ def cosine_pairs_lsh(
                         id_col: pa.array(ids),
                         "table": pa.array(np.full(len(ids), t, np.int32)),
                         "bucket": pa.array(buck.astype(np.int64)),
-                        "vec": pa.array(list(m), pa.list_(pa.float64())),
+                        "vec": vec_arr,
                     }
                 )
             )
@@ -478,8 +483,12 @@ def semdedup(
                 id_col: pa.array(ids),
                 "cluster": pa.array(lab.astype(np.int64)),
                 # normalized 9dp-quantized vectors ride to the exchange so
-                # the per-cluster pass needs no second corpus read
-                "_e": pa.array(list(m)),
+                # the per-cluster pass needs no second corpus read; built
+                # from the flat buffer — pa.array(list(m)) walks a Python
+                # object per ROW and dominated a 1M-vector probe
+                "_e": pa.FixedSizeListArray.from_arrays(
+                    pa.array(m.reshape(-1)), m.shape[1]
+                ),
             }
         )
 
@@ -492,9 +501,19 @@ def semdedup(
         for _, g in df.groupby("cluster", sort=False):
             g = g.sort_values(id_col, kind="mergesort")
             m = np.stack(g["_e"].to_numpy())
-            s = _round_away(m @ m.T, 9)
-            # v is a dup if any u (row index < v's) has sim >= tau
-            dup = np.triu(s >= tau, k=1).any(axis=0)
+            n = len(m)
+            dup = np.zeros(n, dtype=bool)
+            # column-chunked pairwise pass: the live matrix is
+            # prefix × chunk, never the full s × s similarity matrix
+            # (a skewed 50k-vector cluster would need a 20 GB square)
+            step = 1024
+            for j0 in range(1, n, step):
+                j1 = min(j0 + step, n)
+                s = _round_away(m[:j1] @ m[j0:j1].T, 9)
+                hit = s >= tau
+                # keep only u-row strictly BEFORE the column's vector
+                hit &= np.arange(j1)[:, None] < np.arange(j0, j1)[None, :]
+                dup[j0:j1] = hit.any(axis=0)
             outs.append(g.loc[~dup, [id_col, "cluster"]])
         return (
             pd.concat(outs)

@@ -73,7 +73,7 @@ def spilled_mb() -> float:
         m = re.search(r"Spilled (\d+) MiB", s)
         return float(m.group(1)) if m else 0.0
     except Exception:
-        return float("nan")
+        return -1.0  # summary unavailable (NaN would break strict JSON)
 
 
 # ------------------------------------------------- big documents fixture
@@ -257,12 +257,72 @@ def probe_neardup(n_docs: int) -> dict:
     }
 
 
+def probe_semdedup(n_vecs: int, d: int = 64) -> dict:
+    """SemDeDup semantic dedup at scale: synthetic gaussian embeddings
+    with a near-duplicate planted every 25th vector (a 1e-3 perturbation
+    of its predecessor → cosine ≈ 1), pruned at tau=0.8 (random 64-d
+    gaussian pairs sit ~6σ below that, so expected drops ≈ n/25).
+    n_clusters=256 so expected cluster size is n/256; the prune pass is
+    column-chunked, so peak per-task memory is prefix × 1024 doubles even
+    on skewed clusters."""
+    import ray.data as rd
+
+    from node_shovel_ray.functions.similarity import semdedup
+
+    emb_dir = os.path.join(PROBE_DIR, f"emb_{n_vecs}")
+    path = os.path.join(emb_dir, "embeddings.parquet")
+    if not os.path.exists(path):
+        os.makedirs(emb_dir, exist_ok=True)
+        rng = np.random.default_rng(11)
+        tmp = path + ".tmp"
+        writer = None
+        for start in range(0, n_vecs, 100_000):
+            stop = min(start + 100_000, n_vecs)
+            x = rng.normal(size=(stop - start, d))
+            # plant a near-dup of the PREVIOUS vector every 25th row
+            idx = np.arange(start, stop)
+            planted = (idx % 25 == 0) & (idx > 0)
+            src = np.where(planted)[0]
+            x[src[src > 0]] = x[src[src > 0] - 1] + rng.normal(
+                scale=1e-3, size=(int((src > 0).sum()), d)
+            )
+            t = pa.table(
+                {
+                    "vec_id": pa.array(idx, pa.int64()),
+                    "embedding": pa.array(list(x), pa.list_(pa.float64())),
+                }
+            )
+            if writer is None:
+                writer = pq.ParquetWriter(tmp, t.schema)
+            writer.write_table(t)
+        writer.close()
+        os.replace(tmp, path)
+    t0 = time.time()
+    with StoreSampler() as samp:
+        out = semdedup(
+            rd.read_parquet(path), n_clusters=256, tau=0.8
+        )
+        n = out.count()
+    sec = time.time() - t0
+    return {
+        "rows_in": n_vecs, "rows_out": int(n),
+        "dropped": int(n_vecs - n),
+        "planted_dups_approx": n_vecs // 25,
+        "sec": round(sec, 1),
+        "rows_per_s": int(n_vecs / sec),
+        "peak_object_store_gb": round(samp.peak_used / 2**30, 2),
+        "store_total_gb": round(samp.total / 2**30, 2),
+        "spilled_mb": spilled_mb(),
+    }
+
+
 PROBES = {
     "flagship": lambda nc, nd: probe_flagship(nc),
     "curation": lambda nc, nd: probe_curation(nd),
     "decontaminate": lambda nc, nd: probe_decontaminate(nd),
     "crossdoc": lambda nc, nd: probe_crossdoc(nd),
     "neardup": lambda nc, nd: probe_neardup(nd),
+    "semdedup": lambda nc, nd: probe_semdedup(nd),
 }
 
 
