@@ -423,10 +423,15 @@ def _pl_sample(o):
     if "fraction" in o:
         p = float(o["fraction"])
         return lambda ds: sample_fraction(ds, p, id_col=id_col)
-    pg = o["per_group"]
-    return lambda ds: sample_per_group(
-        ds, group_col=pg["group"], k=int(pg["k"]), id_col=id_col
-    )
+    if "per_group" in o:
+        pg = o["per_group"]
+        return lambda ds: sample_per_group(
+            ds, group_col=pg["group"], k=int(pg["k"]), id_col=id_col
+        )
+    # exact-size global sample (top-n by md5 rank)
+    from ..functions.sampling import sample_topn
+
+    return lambda ds: sample_topn(ds, n=int(o["top_n"]), id_col=id_col)
 
 
 @register("pipeline", "pack")
@@ -449,6 +454,34 @@ def _pl_dedup(o):
 
     return lambda ds: dedup_exact(
         ds, key_col=o.get("key", "text"), id_col=o.get("id_col", "doc_id")
+    )
+
+
+@register("pipeline", "cluster")
+def _pl_cluster(o):
+    """Embedding k-means clustering: (id, cluster, sim) per vector."""
+    from ..functions.similarity import kmeans_assign_det
+
+    return lambda ds: kmeans_assign_det(
+        ds,
+        n_clusters=int(o.get("n_clusters", 16)),
+        id_col=o.get("id_col", "vec_id"),
+        vec_col=o.get("vec_col", "embedding"),
+    )
+
+
+@register("pipeline", "semdedup")
+def _pl_semdedup(o):
+    """SemDeDup semantic dedup: cluster then prune within-cluster
+    near-dups (cosine ≥ tau, keep the smallest id)."""
+    from ..functions.similarity import semdedup
+
+    return lambda ds: semdedup(
+        ds,
+        n_clusters=int(o.get("n_clusters", 16)),
+        tau=float(o.get("tau", 0.35)),
+        id_col=o.get("id_col", "vec_id"),
+        vec_col=o.get("vec_col", "embedding"),
     )
 
 

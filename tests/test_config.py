@@ -374,3 +374,58 @@ def test_corpus_ops_registry(tmp_path):
 
     out = run([{"use": "textstats", "options": {"which": "tokens"}}])
     assert out.set_index("doc_id")["n_tokens"][3] == 2
+
+
+def test_cluster_semdedup_topn_registry(tmp_path):
+    """r5 registry ops: cluster / semdedup over a tiny embeddings table;
+    sample top_n over documents."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from node_shovel_ray.pipelines.config import PipelineConfig, build
+
+    rng = np.random.default_rng(3)
+    m = rng.normal(size=(20, 8))
+    m[1] = m[0] + 1e-4  # planted near-dup
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(20), pa.int64()),
+                "embedding": pa.array(list(m), pa.list_(pa.float64())),
+            }
+        ),
+        str(tmp_path / "emb.parquet"),
+    )
+
+    def run(path, stages):
+        cfg = PipelineConfig.from_dict(
+            {
+                "name": "t",
+                "input": {"use": "parquet", "options": {"path": path}},
+                "pipeline": {"use": "chain", "options": {"stages": stages}},
+                "output": {"use": "dataset"},
+            }
+        )
+        return build(cfg)().to_pandas()
+
+    emb = str(tmp_path / "emb.parquet")
+    out = run(emb, [{"use": "cluster", "options": {"n_clusters": 4}}])
+    assert len(out) == 20 and out["cluster"].between(0, 3).all()
+
+    out = run(emb, [{"use": "semdedup", "options": {"n_clusters": 4, "tau": 0.9}}])
+    assert 1 not in set(out["vec_id"])  # the planted dup is pruned
+    assert 0 in set(out["vec_id"])      # its smaller-id twin survives
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(10), pa.int64()),
+            "text": pa.array([f"t{i}" for i in range(10)]),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "docs2.parquet"))
+    out = run(
+        str(tmp_path / "docs2.parquet"),
+        [{"use": "sample", "options": {"top_n": 4}}],
+    )
+    assert len(out) == 4
