@@ -203,6 +203,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_docs": corpus.split_docs,
         # corpus-trained unigram-LM quality scoring (KenLM-filter shape, r3)
         "unigram_logprob_docs": corpus.unigram_logprob_docs,
+        # corpus TF-IDF rarity scoring (df aggregate → broadcast idf, r5)
+        "tfidf_docs": corpus.tfidf_docs,
         # per-source mixture reweighting (data mixing, r3)
         "mixture_docs": corpus.mixture_docs,
         # PII-density counts (scrub-or-drop gate, r3)
@@ -218,6 +220,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # stopped at 50, leaving these 12 judge-verified-only — front-load them
     # so CORRECTNESS_r05 records a driver-confirmed row for every name
     front = [
+        # new operators late in r5 — no driver row yet
+        "sample_docs_topn", "cluster_embeddings", "semdedup_embeddings",
+        "tfidf_docs",
         "contaminated_bloom_docs",  # new in r5 — no driver row yet
         "repetition_docs", "contaminated_docs", "crossdoc_gram_docs",
         "shuffle_docs", "dupspan_docs", "split_docs", "unigram_logprob_docs",
@@ -459,6 +464,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT tok.doc_id,
                    round(avg(-ln(cnt.n / tot.total)), 4) AS avg_neg_logprob
             FROM tok JOIN cnt USING (t) CROSS JOIN tot
+            GROUP BY tok.doc_id
+        """,
+        "tfidf_docs": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                unnest(list_filter(string_split_regex(text, '\s+'),
+                                   x -> x <> '')) AS t
+              FROM documents
+            ), dfreq AS (
+              SELECT t, count(DISTINCT doc_id) AS df FROM tok GROUP BY t
+            ), n AS (
+              SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents
+            )
+            SELECT tok.doc_id, round(avg(ln(n.nd / dfreq.df)), 4) AS avg_idf
+            FROM tok JOIN dfreq USING (t) CROSS JOIN n
             GROUP BY tok.doc_id
         """,
         "repetition_docs": r"""

@@ -799,6 +799,96 @@ def split_docs(sf_dir: str) -> "rd.Dataset":
     ).select_columns(["doc_id", "split"])
 
 
+def tfidf_docs(sf_dir: str) -> "rd.Dataset":
+    """Corpus TF-IDF rarity scoring: document frequency of every token
+    over the corpus itself (distinct-per-doc partial counts per batch →
+    one vocab-sized aggregate), broadcast idf = ln(N/df), then score
+    every doc by the mean idf over its token OCCURRENCES (occurrence-
+    weighted mean == tf-weighted tf-idf with tf normalized by length) —
+    the classic rarity/quality signal next to the unigram-LM score.
+
+    Scale note: same shape as unigram_logprob_docs — the aggregate and
+    broadcast are VOCABULARY-sized (Heaps' law, sublinear), the scoring
+    pass streams; zero-token docs are omitted (matching the SQL twin's
+    GROUP BY). Oracle-paired: both engines sum per-doc idf terms in
+    token order, so the float64 mean is bit-identical before the shared
+    round(4)."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.fill_null(t["text"], ""), pattern=r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offs = np.asarray(toks.offsets)
+        flat = toks.flatten()
+        seg = np.repeat(np.arange(len(t), dtype=np.int64), np.diff(offs))
+        dfp = pd.DataFrame(
+            {"token": flat.to_numpy(zero_copy_only=False), "seg": seg}
+        )
+        dfp = dfp[dfp["token"] != ""].drop_duplicates()  # distinct per doc
+        vc = dfp["token"].value_counts()
+        return pa.table(
+            {
+                "token": pa.array(vc.index.to_numpy(), pa.string()),
+                "df": pa.array(vc.to_numpy(), pa.int64()),
+            }
+        )
+
+    n_docs = float(_docs(sf_dir, ["doc_id"]).count())
+    counts = (
+        _docs(sf_dir, ["text"])
+        .map_batches(df_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token")
+        .aggregate(Sum("df", alias_name="df"))
+        .to_pandas()
+    )
+    vocab = pa.array(counts["token"], pa.string())
+    idf = np.log(n_docs / counts["df"].to_numpy(np.float64))
+    import ray
+
+    ref = ray.put((vocab, idf))
+
+    class Score:
+        def __init__(self):
+            self.vocab, self.idf = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            toks = pc.split_pattern_regex(
+                pc.fill_null(t["text"], ""), pattern=r"\s+"
+            )
+            if isinstance(toks, pa.ChunkedArray):
+                toks = toks.combine_chunks()
+            offs = np.asarray(toks.offsets)
+            flat = toks.flatten()
+            nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+            # same null-index guard as unigram_logprob_docs' Score
+            idx = (
+                pc.fill_null(pc.index_in(flat, value_set=self.vocab), 0)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            w = np.where(nonempty, self.idf[idx], 0.0)
+            cs = np.concatenate([[0], np.cumsum(w)])
+            seg_sum = cs[offs[1:]] - cs[offs[:-1]]
+            csn = np.concatenate([[0], np.cumsum(nonempty.astype(np.int64))])
+            seg_n = csn[offs[1:]] - csn[offs[:-1]]
+            keep = seg_n > 0
+            avg = seg_sum[keep] / seg_n[keep]
+            avg = np.floor(avg * 10_000 + 0.5) / 10_000  # round 4, idf >= 0
+            return pa.table(
+                {
+                    "doc_id": t["doc_id"].filter(pa.array(keep)),
+                    "avg_idf": pa.array(avg, pa.float64()),
+                }
+            )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        Score, batch_format="pyarrow", concurrency=default_pool()
+    )
+
+
 def unigram_logprob_docs(sf_dir: str) -> "rd.Dataset":
     """Language-model quality scoring, KenLM-filter shaped: train a unigram
     LM on the corpus itself (one token-count aggregate — the vocab pattern,

@@ -168,3 +168,31 @@ def test_unigram_logprob_edge_whitespace(tmp_path):
     assert out[0] == expect(["hello", "world"])
     assert out[2] == expect(["hello"])
     assert out[4] == expect(["world", "hello"])
+
+
+def test_tfidf_docs_hand_computed(tmp_path):
+    """TF-IDF rarity score: idf = ln(N/df) over distinct-per-doc counts,
+    occurrence-weighted mean per doc, zero-token docs omitted."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from node_shovel_ray.pipelines.corpus import tfidf_docs
+
+    texts = ["a a b", "a c", "", None, "  b  "]
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()), "text": texts}),
+        tmp_path / "documents.parquet",
+    )
+    out = tfidf_docs(str(tmp_path)).to_pandas().set_index("doc_id")["avg_idf"]
+    assert sorted(out.index) == [0, 1, 4]
+    # N = 5 docs; df: a→2 docs, b→2, c→1
+    idf = {"a": math.log(5 / 2), "b": math.log(5 / 2), "c": math.log(5 / 1)}
+
+    def expect(toks):
+        v = sum(idf[t] for t in toks) / len(toks)
+        return math.floor(v * 10_000 + 0.5) / 10_000
+
+    assert out[0] == expect(["a", "a", "b"])  # occurrence-weighted: a twice
+    assert out[1] == expect(["a", "c"])
+    assert out[4] == expect(["b"])
