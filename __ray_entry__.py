@@ -205,6 +205,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_logprob_docs": corpus.unigram_logprob_docs,
         # corpus TF-IDF rarity scoring (df aggregate → broadcast idf, r5)
         "tfidf_docs": corpus.tfidf_docs,
+        # C4-style cross-document line dedup (text rewrite, r5)
+        "line_dedup_docs": corpus.line_dedup_docs,
         # per-source mixture reweighting (data mixing, r3)
         "mixture_docs": corpus.mixture_docs,
         # PII-density counts (scrub-or-drop gate, r3)
@@ -222,7 +224,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     front = [
         # new operators late in r5 — no driver row yet
         "sample_docs_topn", "cluster_embeddings", "semdedup_embeddings",
-        "tfidf_docs",
+        "tfidf_docs", "line_dedup_docs",
         "contaminated_bloom_docs",  # new in r5 — no driver row yet
         "repetition_docs", "contaminated_docs", "crossdoc_gram_docs",
         "shuffle_docs", "dupspan_docs", "split_docs", "unigram_logprob_docs",
@@ -465,6 +467,31 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(-ln(cnt.n / tot.total)), 4) AS avg_neg_logprob
             FROM tok JOIN cnt USING (t) CROSS JOIN tot
             GROUP BY tok.doc_id
+        """,
+        "line_dedup_docs": r"""
+            WITH lines AS MATERIALIZED (
+              SELECT doc_id, l, ord FROM (
+                SELECT doc_id,
+                  unnest(string_split(COALESCE(text, ''), chr(10))) AS l,
+                  generate_subscripts(
+                    string_split(COALESCE(text, ''), chr(10)), 1) AS ord
+                FROM documents)
+            ), common AS MATERIALIZED (
+              SELECT l FROM (
+                SELECT l, count(DISTINCT doc_id) AS c FROM lines
+                WHERE l <> '' GROUP BY l
+              ) WHERE c >= 2
+            ), flags AS (
+              SELECT doc_id, ord, l,
+                     (l <> '' AND l IN (SELECT l FROM common)) AS dup
+              FROM lines
+            )
+            SELECT doc_id,
+              COALESCE(array_to_string(
+                list(l ORDER BY ord) FILTER (WHERE NOT dup), chr(10)),
+                '') AS text_clean,
+              CAST(count(*) FILTER (WHERE dup) AS BIGINT) AS n_removed
+            FROM flags GROUP BY doc_id
         """,
         "tfidf_docs": r"""
             WITH tok AS (

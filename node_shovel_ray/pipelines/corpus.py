@@ -799,6 +799,98 @@ def split_docs(sf_dir: str) -> "rd.Dataset":
     ).select_columns(["doc_id", "split"])
 
 
+def line_dedup_docs(sf_dir: str, min_df: int = 2) -> "rd.Dataset":
+    """C4-style cross-document LINE dedup: any exact non-empty line that
+    appears in ≥ ``min_df`` distinct documents is REMOVED from every
+    document, and the text is reassembled (the boilerplate-line filter
+    C4/Dolma run: nav menus, cookie banners, repeated headers).
+
+    Two streaming passes over the corpus (the crossdoc_gram_docs shape):
+    (1) distinct-per-doc line partials per batch → hash-bucket exchange →
+    per-line document frequency → the ≥min_df "common" line set is
+    broadcast once via ``ray.put`` (power-law small; size logged — the
+    no-silent-caps rule); (2) a vectorized rewrite pass: flatten lines,
+    mask common ones, rebuild the list offsets, ``binary_join`` with \\n —
+    no Python loop over rows. Fully oracle-paired (list FILTER +
+    array_to_string twin)."""
+    import pyarrow.compute as pc
+
+    from ..stages.keyed import keyed_map_blocks as _kmb
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        lines = pc.split_pattern(pc.fill_null(t["text"], ""), pattern="\n")
+        if isinstance(lines, pa.ChunkedArray):
+            lines = lines.combine_chunks()
+        offs = np.asarray(lines.offsets)
+        seg = np.repeat(np.arange(len(t), dtype=np.int64), np.diff(offs))
+        dfp = pd.DataFrame(
+            {"l": lines.flatten().to_numpy(zero_copy_only=False), "seg": seg}
+        )
+        dfp = dfp[dfp["l"] != ""].drop_duplicates()  # distinct per doc
+        vc = dfp["l"].value_counts()
+        return pa.table(
+            {
+                "l": pa.array(vc.index.to_numpy(), pa.string()),
+                "df": pa.array(vc.to_numpy(), pa.int64()),
+            }
+        )
+
+    def bucket_sum(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("l", sort=False, as_index=False)["df"].sum()
+
+    line_df = _kmb(
+        _docs(sf_dir, ["text"]).map_batches(
+            df_partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        ["l"],
+        bucket_sum,
+    )
+    import ray
+
+    common = pa.array(
+        sorted(r["l"] for r in line_df.filter(expr=f"df >= {min_df}").take_all()),
+        pa.string(),
+    )
+    _log.info(
+        "line_dedup_docs: broadcasting %d common lines (%.1f MB)",
+        len(common), common.nbytes / 1e6,
+    )
+    common_ref = ray.put(common)
+
+    def rewrite(t: pa.Table) -> pa.Table:
+        common = ray.get(common_ref)  # plasma read, cached per node
+        lines = pc.split_pattern(pc.fill_null(t["text"], ""), pattern="\n")
+        if isinstance(lines, pa.ChunkedArray):
+            lines = lines.combine_chunks()
+        offs = np.asarray(lines.offsets)
+        flat = lines.flatten()
+        drop = pc.and_(
+            pc.is_in(flat, value_set=common), pc.not_equal(flat, "")
+        ).to_numpy(zero_copy_only=False)
+        keep = ~drop
+        nd = len(t)
+        seg = np.repeat(np.arange(nd, dtype=np.int64), np.diff(offs))
+        kept_counts = np.bincount(seg[keep], minlength=nd)
+        new_offs = np.concatenate([[0], np.cumsum(kept_counts)]).astype(np.int32)
+        new_list = pa.ListArray.from_arrays(
+            pa.array(new_offs), flat.filter(pa.array(keep))
+        )
+        n_removed = (np.diff(offs) - kept_counts).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "text_clean": pc.binary_join(
+                    new_list, pa.scalar("\n", pa.string())
+                ),
+                "n_removed": pa.array(n_removed),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        rewrite, batch_format="pyarrow"
+    )
+
+
 def tfidf_docs(sf_dir: str) -> "rd.Dataset":
     """Corpus TF-IDF rarity scoring: document frequency of every token
     over the corpus itself (distinct-per-doc partial counts per batch →

@@ -196,3 +196,40 @@ def test_tfidf_docs_hand_computed(tmp_path):
     assert out[0] == expect(["a", "a", "b"])  # occurrence-weighted: a twice
     assert out[1] == expect(["a", "c"])
     assert out[4] == expect(["b"])
+
+
+def test_line_dedup_docs_removes_boilerplate(tmp_path):
+    """Cross-doc line dedup: a line present in >= 2 docs is removed from
+    ALL docs (including empty-text and all-lines-removed edge cases);
+    unique lines and blank lines survive, order preserved."""
+    import pyarrow.parquet as pq
+
+    from node_shovel_ray.pipelines.corpus import line_dedup_docs
+
+    texts = [
+        "COOKIE BANNER\nreal content one\nfooter",
+        "COOKIE BANNER\nreal content two\n\nfooter",
+        "only unique here",
+        "",
+        None,
+        "footer",  # a doc that IS just the boilerplate
+    ]
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()), "text": texts}),
+        tmp_path / "documents.parquet",
+    )
+    out = (
+        line_dedup_docs(str(tmp_path))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert list(out["text_clean"]) == [
+        "real content one",
+        "real content two\n",  # blank line kept, trailing footer removed
+        "only unique here",
+        "",
+        "",
+        "",  # all lines removed -> empty doc, still present
+    ]
+    assert list(out["n_removed"]) == [2, 2, 0, 0, 0, 1]
