@@ -95,6 +95,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_conv_meta(sf_dir: str):
         return flagship.build_conv_meta_ds(_events(sf_dir))
 
+    def q_repeated_turns(sf_dir: str):
+        return flagship.repeated_turns(_transcripts(sf_dir))
+
     def q_enrich(sf_dir: str):
         return _routed(sf_dir).select_columns(
             ["conv_id", "turn_idx", "tenant", "channel", "priority",
@@ -130,6 +133,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcriptify": q_transcripts,
         "parse": q_parse,
         "conv_meta": q_conv_meta,
+        # cross-conv repeated-turn (canned response) detection, r5
+        "repeated_turns": q_repeated_turns,
         "enrich": q_enrich,
         "sink_errors": lambda d: _sink(d, "errors"),
         "sink_tools": lambda d: _sink(d, "tools"),
@@ -224,7 +229,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     front = [
         # new operators late in r5 — no driver row yet
         "sample_docs_topn", "cluster_embeddings", "semdedup_embeddings",
-        "tfidf_docs", "line_dedup_docs",
+        "tfidf_docs", "line_dedup_docs", "repeated_turns",
         "contaminated_bloom_docs",  # new in r5 — no driver row yet
         "repetition_docs", "contaminated_docs", "crossdoc_gram_docs",
         "shuffle_docs", "dupspan_docs", "split_docs", "unigram_logprob_docs",
@@ -245,6 +250,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "transcriptify": Q.Q_TRANSCRIPTS,
+        "repeated_turns": (
+            f"WITH {Q.TRANSCRIPTIFY_CTE.strip()} "
+            "SELECT text, CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs "
+            "FROM transcripts GROUP BY text "
+            "HAVING count(DISTINCT conv_id) >= 2"
+        ),
         "parse": Q.Q_PARSE,
         "conv_meta": Q.Q_CONV_META,
         "enrich": Q.Q_ENRICH,

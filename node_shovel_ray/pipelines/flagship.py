@@ -160,3 +160,43 @@ def from_events(events: "ray.data.Dataset", **kw) -> dict:
     t = transcriptify(events)
     meta = build_conv_meta_ds(events)
     return run(t, meta, **kw)
+
+
+def repeated_turns(
+    transcripts: "ray.data.Dataset", min_convs: int = 2
+) -> "ray.data.Dataset":
+    """Cross-conversation repeated-turn detection: every turn TEXT that
+    appears in ≥ ``min_convs`` distinct conversations, with its
+    conversation count — the transcript-side boilerplate signal (canned
+    assistant responses, templated system turns) mirroring the corpus
+    line-dedup op.
+
+    Exactness: a (conv_id, text) pair can straddle read batches, so the
+    per-batch distinct is only a pre-SHRINK (never affects the global
+    distinct set); the real count-distinct happens after one keyed
+    exchange on the text (each text's survivors co-located), where
+    nunique(conv_id) per text is exact. Shipped rows are the batch-local
+    distinct (conv, text) pairs — far fewer than turns when turns repeat
+    within a conversation."""
+    import pandas as pd
+
+    from ..stages.keyed import keyed_map_blocks
+
+    def shrink(t: pa.Table) -> pa.Table:
+        df = t.select(["conv_id", "text"]).to_pandas()
+        return pa.Table.from_pandas(
+            df.drop_duplicates(), preserve_index=False
+        )
+
+    pairs = transcripts.map_batches(shrink, batch_format="pyarrow")
+
+    def count_convs(df: "pd.DataFrame") -> "pd.DataFrame":
+        out = (
+            df.drop_duplicates()
+            .groupby("text", sort=False)["conv_id"]
+            .size()
+            .reset_index(name="n_convs")
+        )
+        return out[out["n_convs"] >= min_convs]
+
+    return keyed_map_blocks(pairs, ["text"], count_convs)

@@ -193,3 +193,26 @@ def test_flagship_broadcast_plan_equals_join_plan(ray_session):
     # sanity: the lookup really is one row per conversation
     n_convs = meta_ds.count()
     assert n_convs == bc["conv_id"].nunique()
+
+
+def test_repeated_turns_straddling_blocks(ray_session):
+    """A (conv_id, text) pair split across read blocks must count ONCE:
+    the per-batch distinct is only a pre-shrink; the keyed exchange does
+    the exact count-distinct."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from node_shovel_ray.pipelines.flagship import repeated_turns
+
+    rows = (
+        [{"conv_id": "c1", "text": "canned"}] * 5   # repeats WITHIN c1
+        + [{"conv_id": "c2", "text": "canned"}] * 5
+        + [{"conv_id": "c1", "text": "unique one"}]
+        + [{"conv_id": "c3", "text": "solo"}]
+    )
+    t = pa.Table.from_pylist(rows)
+    out = repeated_turns(rd.from_arrow(t).repartition(6)).to_pandas()
+    # 'canned' appears in exactly 2 convs despite 10 occurrences across
+    # many blocks; nothing else crosses the min_convs=2 bar
+    assert list(out["text"]) == ["canned"]
+    assert list(out["n_convs"]) == [2]
