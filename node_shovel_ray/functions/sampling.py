@@ -164,7 +164,13 @@ def sample_topn(
         df["_h"] = (h >> np.uint64(1)).astype(np.int64)
         return df.sort_values(["_h", id_col], kind="mergesort").head(n)
 
-    pruned = ds.map_batches(partial, batch_format="pandas")
+    # batch_size=None = whole-block batches: the default 1024-row batches
+    # would make head(n) a no-op for n >= 1024 (no pruning at all) and
+    # n x batches survivors otherwise; then coalesce the pruned slivers —
+    # a sort exchange launches input_blocks x partitions tasks (CLAUDE.md)
+    pruned = ds.map_batches(
+        partial, batch_format="pandas", batch_size=None
+    ).repartition(8)
     return pruned.sort(["_h", id_col]).limit(n).drop_columns(["_h"])
 
 
@@ -187,7 +193,9 @@ def sample_per_group(
         df = df.sort_values(["_h", id_col], kind="mergesort")
         return df.groupby(group_col, sort=False).head(k)
 
-    pruned = ds.map_batches(partial, batch_format="pandas")
+    # whole-block batches: default 1024-row batches would keep
+    # k x groups x BATCHES rows instead of x blocks (no-op for k >= 1024)
+    pruned = ds.map_batches(partial, batch_format="pandas", batch_size=None)
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["_h", id_col], kind="mergesort")

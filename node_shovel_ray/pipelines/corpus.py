@@ -799,6 +799,82 @@ def split_docs(sf_dir: str) -> "rd.Dataset":
     ).select_columns(["doc_id", "split"])
 
 
+def _distinct_per_doc_partial(splitter, key_name: str):
+    """Batch fn: per-doc DISTINCT units (tokens/lines) → partial document
+    frequencies — the first pass shared by tfidf_docs / line_dedup_docs.
+    ``splitter(text_col) -> list array`` picks the unit."""
+    import pyarrow.compute as pc
+
+    def fn(t: pa.Table) -> pa.Table:
+        units = splitter(pc.fill_null(t["text"], ""))
+        if isinstance(units, pa.ChunkedArray):
+            units = units.combine_chunks()
+        offs = np.asarray(units.offsets)
+        seg = np.repeat(np.arange(len(t), dtype=np.int64), np.diff(offs))
+        dfp = pd.DataFrame(
+            {key_name: units.flatten().to_numpy(zero_copy_only=False), "seg": seg}
+        )
+        dfp = dfp[dfp[key_name] != ""].drop_duplicates()  # distinct per doc
+        vc = dfp[key_name].value_counts()
+        return pa.table(
+            {
+                key_name: pa.array(vc.index.to_numpy(), pa.string()),
+                "df": pa.array(vc.to_numpy(), pa.int64()),
+            }
+        )
+
+    return fn
+
+
+def _token_mean_scorer(ref, out_col: str):
+    """Actor class: broadcast (vocab, per-token weights) → per-doc mean of
+    the weights over whitespace-token OCCURRENCES, round(4), zero-token
+    docs omitted — shared by unigram_logprob_docs / tfidf_docs. Weights
+    must be >= 0 (the rounding is half-away for non-negatives)."""
+    import pyarrow.compute as pc
+
+    import ray
+
+    class Score:
+        def __init__(self):
+            self.vocab, self.w = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            toks = pc.split_pattern_regex(
+                pc.fill_null(t["text"], ""), pattern=r"\s+"
+            )
+            if isinstance(toks, pa.ChunkedArray):
+                toks = toks.combine_chunks()
+            offs = np.asarray(toks.offsets)
+            flat = toks.flatten()
+            nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+            # empty boundary tokens (leading/trailing whitespace) are absent
+            # from the vocab: index_in yields null there, and a null-bearing
+            # to_numpy() becomes float64/NaN which cannot index the weights —
+            # fill_null(0) first; the nonempty mask zeroes those positions
+            idx = (
+                pc.fill_null(pc.index_in(flat, value_set=self.vocab), 0)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            w = np.where(nonempty, self.w[idx], 0.0)
+            cs = np.concatenate([[0], np.cumsum(w)])
+            seg_sum = cs[offs[1:]] - cs[offs[:-1]]
+            csn = np.concatenate([[0], np.cumsum(nonempty.astype(np.int64))])
+            seg_n = csn[offs[1:]] - csn[offs[:-1]]
+            keep = seg_n > 0
+            avg = seg_sum[keep] / seg_n[keep]
+            avg = np.floor(avg * 10_000 + 0.5) / 10_000  # round 4, w >= 0
+            return pa.table(
+                {
+                    "doc_id": t["doc_id"].filter(pa.array(keep)),
+                    out_col: pa.array(avg, pa.float64()),
+                }
+            )
+
+    return Score
+
+
 def line_dedup_docs(sf_dir: str, min_df: int = 2) -> "rd.Dataset":
     """C4-style cross-document LINE dedup: any exact non-empty line that
     appears in ≥ ``min_df`` distinct documents is REMOVED from every
@@ -817,23 +893,9 @@ def line_dedup_docs(sf_dir: str, min_df: int = 2) -> "rd.Dataset":
 
     from ..stages.keyed import keyed_map_blocks as _kmb
 
-    def df_partial(t: pa.Table) -> pa.Table:
-        lines = pc.split_pattern(pc.fill_null(t["text"], ""), pattern="\n")
-        if isinstance(lines, pa.ChunkedArray):
-            lines = lines.combine_chunks()
-        offs = np.asarray(lines.offsets)
-        seg = np.repeat(np.arange(len(t), dtype=np.int64), np.diff(offs))
-        dfp = pd.DataFrame(
-            {"l": lines.flatten().to_numpy(zero_copy_only=False), "seg": seg}
-        )
-        dfp = dfp[dfp["l"] != ""].drop_duplicates()  # distinct per doc
-        vc = dfp["l"].value_counts()
-        return pa.table(
-            {
-                "l": pa.array(vc.index.to_numpy(), pa.string()),
-                "df": pa.array(vc.to_numpy(), pa.int64()),
-            }
-        )
+    df_partial = _distinct_per_doc_partial(
+        lambda col: pc.split_pattern(col, pattern="\n"), "l"
+    )
 
     def bucket_sum(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby("l", sort=False, as_index=False)["df"].sum()
@@ -909,24 +971,9 @@ def tfidf_docs(sf_dir: str) -> "rd.Dataset":
 
     from ray.data.aggregate import Sum
 
-    def df_partial(t: pa.Table) -> pa.Table:
-        toks = pc.split_pattern_regex(pc.fill_null(t["text"], ""), pattern=r"\s+")
-        if isinstance(toks, pa.ChunkedArray):
-            toks = toks.combine_chunks()
-        offs = np.asarray(toks.offsets)
-        flat = toks.flatten()
-        seg = np.repeat(np.arange(len(t), dtype=np.int64), np.diff(offs))
-        dfp = pd.DataFrame(
-            {"token": flat.to_numpy(zero_copy_only=False), "seg": seg}
-        )
-        dfp = dfp[dfp["token"] != ""].drop_duplicates()  # distinct per doc
-        vc = dfp["token"].value_counts()
-        return pa.table(
-            {
-                "token": pa.array(vc.index.to_numpy(), pa.string()),
-                "df": pa.array(vc.to_numpy(), pa.int64()),
-            }
-        )
+    df_partial = _distinct_per_doc_partial(
+        lambda col: pc.split_pattern_regex(col, pattern=r"\s+"), "token"
+    )
 
     n_docs = float(_docs(sf_dir, ["doc_id"]).count())
     counts = (
@@ -941,43 +988,10 @@ def tfidf_docs(sf_dir: str) -> "rd.Dataset":
     import ray
 
     ref = ray.put((vocab, idf))
-
-    class Score:
-        def __init__(self):
-            self.vocab, self.idf = ray.get(ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            toks = pc.split_pattern_regex(
-                pc.fill_null(t["text"], ""), pattern=r"\s+"
-            )
-            if isinstance(toks, pa.ChunkedArray):
-                toks = toks.combine_chunks()
-            offs = np.asarray(toks.offsets)
-            flat = toks.flatten()
-            nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
-            # same null-index guard as unigram_logprob_docs' Score
-            idx = (
-                pc.fill_null(pc.index_in(flat, value_set=self.vocab), 0)
-                .to_numpy(zero_copy_only=False)
-                .astype(np.int64)
-            )
-            w = np.where(nonempty, self.idf[idx], 0.0)
-            cs = np.concatenate([[0], np.cumsum(w)])
-            seg_sum = cs[offs[1:]] - cs[offs[:-1]]
-            csn = np.concatenate([[0], np.cumsum(nonempty.astype(np.int64))])
-            seg_n = csn[offs[1:]] - csn[offs[:-1]]
-            keep = seg_n > 0
-            avg = seg_sum[keep] / seg_n[keep]
-            avg = np.floor(avg * 10_000 + 0.5) / 10_000  # round 4, idf >= 0
-            return pa.table(
-                {
-                    "doc_id": t["doc_id"].filter(pa.array(keep)),
-                    "avg_idf": pa.array(avg, pa.float64()),
-                }
-            )
-
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        Score, batch_format="pyarrow", concurrency=default_pool()
+        _token_mean_scorer(ref, "avg_idf"),
+        batch_format="pyarrow",
+        concurrency=default_pool(),
     )
 
 
@@ -1017,50 +1031,14 @@ def unigram_logprob_docs(sf_dir: str) -> "rd.Dataset":
     )
     total = float(counts["n"].sum())
     vocab = pa.array(counts["token"], pa.string())
-    logp = np.log(counts["n"].to_numpy(np.float64) / total)
+    neg_logp = -np.log(counts["n"].to_numpy(np.float64) / total)
     import ray
 
-    ref = ray.put((vocab, logp))
-
-    class Score:
-        def __init__(self):
-            self.vocab, self.logp = ray.get(ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            toks = pc.split_pattern_regex(
-                pc.fill_null(t["text"], ""), pattern=r"\s+"
-            )
-            if isinstance(toks, pa.ChunkedArray):
-                toks = toks.combine_chunks()
-            offs = np.asarray(toks.offsets)
-            flat = toks.flatten()
-            nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
-            # empty boundary tokens (leading/trailing whitespace) are absent
-            # from the vocab: index_in yields null there, and a null-bearing
-            # to_numpy() becomes float64/NaN which cannot index logp —
-            # fill_null(0) first; the nonempty mask zeroes those positions
-            idx = (
-                pc.fill_null(pc.index_in(flat, value_set=self.vocab), 0)
-                .to_numpy(zero_copy_only=False)
-                .astype(np.int64)
-            )
-            lp = np.where(nonempty, -self.logp[idx], 0.0)
-            cs = np.concatenate([[0], np.cumsum(lp)])
-            seg_sum = cs[offs[1:]] - cs[offs[:-1]]
-            csn = np.concatenate([[0], np.cumsum(nonempty.astype(np.int64))])
-            seg_n = csn[offs[1:]] - csn[offs[:-1]]
-            keep = seg_n > 0
-            avg = seg_sum[keep] / seg_n[keep]
-            avg = np.floor(avg * 10_000 + 0.5) / 10_000  # round 4, values > 0
-            return pa.table(
-                {
-                    "doc_id": t["doc_id"].filter(pa.array(keep)),
-                    "avg_neg_logprob": pa.array(avg, pa.float64()),
-                }
-            )
-
+    ref = ray.put((vocab, neg_logp))
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        Score, batch_format="pyarrow", concurrency=default_pool()
+        _token_mean_scorer(ref, "avg_neg_logprob"),
+        batch_format="pyarrow",
+        concurrency=default_pool(),
     )
 
 

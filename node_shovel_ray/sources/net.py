@@ -401,6 +401,12 @@ class HttpIngestServer:
                 self.end_headers()
 
             def do_POST(self):
+                # drain the body BEFORE any early-exit response: on a
+                # keep-alive connection an unread body would be parsed as
+                # the next request line, desyncing the very retry loop the
+                # 520 nack asks the shipper to run
+                length = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(length)
                 if not collector.listening:
                     self._respond(403)
                     return
@@ -410,8 +416,6 @@ class HttpIngestServer:
                 if collector.spool.pending() >= backpressure:
                     self._respond(520)  # nack: retry later
                     return
-                length = int(self.headers.get("Content-Length", 0))
-                body = self.rfile.read(length)
                 ctype = self.headers.get("Content-Type", "")
                 if validator is not None and not validator(body, ctype):
                     self._respond(501)  # reject: undecodable

@@ -65,6 +65,7 @@ def _wait_spooled(collector, expected: int, timeout: float = 120.0) -> int:
         n = _spool_rows(spool.spool_dir, spool.pending())
         if n >= expected:
             return n
+        time.sleep(0.05)  # don't contend with receiver threads for the GIL
     return _spool_rows(spool.spool_dir, spool.pending())
 
 
@@ -193,8 +194,12 @@ def bench_udp(senders: int, datagrams_per_sender: int) -> dict:
     col.stop()
     n, drain_s = _drain_count(spool_dir)
     shutil.rmtree(spool_dir, ignore_errors=True)
-    assert n == burst["received"] + paced["received"], n
-    return {"burst": burst, "paced_100k": paced, "drain_sec": round(drain_s, 3)}
+    # kernel-buffered datagrams may still land AFTER a phase's count is
+    # taken (lossy transport, no flush barrier) — the drain can only see
+    # MORE than the phase sums, never less
+    assert n >= burst["received"] + paced["received"], n
+    return {"burst": burst, "paced_100k": paced,
+            "drained_rows": int(n), "drain_sec": round(drain_s, 3)}
 
 
 def bench_http(clients: int, posts_per_client: int) -> dict:

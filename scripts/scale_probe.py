@@ -289,7 +289,11 @@ def probe_semdedup(n_vecs: int, d: int = 64) -> dict:
             t = pa.table(
                 {
                     "vec_id": pa.array(idx, pa.int64()),
-                    "embedding": pa.array(list(x), pa.list_(pa.float64())),
+                    # flat-buffer list build (CLAUDE.md: never
+                    # pa.array(list(matrix)) — one Python object per row)
+                    "embedding": pa.FixedSizeListArray.from_arrays(
+                        pa.array(x.reshape(-1)), d
+                    ).cast(pa.list_(pa.float64())),
                 }
             )
             if writer is None:

@@ -309,3 +309,33 @@ def test_yaml_spool_input_and_tcp_output(ray_session, tmp_path):
         "output": {"use": "blackhole"},
     })
     assert build(cfg2)() == 0
+
+
+def test_http_keepalive_survives_early_exit_responses(ray_session, tmp_path):
+    """HTTP/1.1 keep-alive: a 403 (paused) response must DRAIN the unread
+    request body, or the next request on the same connection would parse
+    the stale body as a request line (protocol desync on the documented
+    nack-retry path)."""
+    import http.client
+
+    srv = HttpIngestServer(str(tmp_path))
+    host, port = srv.address
+    conn = http.client.HTTPConnection(host, port)
+    body = b'{"payload": "x" * 10}'
+
+    srv.pause()
+    conn.request("POST", "/i", body=body,
+                 headers={"Content-Type": "application/json"})
+    r = conn.getresponse(); r.read()
+    assert r.status == 403
+    srv.resume()
+    # SAME connection: must parse as a fresh request and succeed
+    conn.request("POST", "/i", body=body,
+                 headers={"Content-Type": "application/json"})
+    r = conn.getresponse(); r.read()
+    assert r.status == 200
+    conn.close()
+    srv.stop()
+    srv.spool.seal()
+    ds, _ = drain_spool(str(tmp_path))
+    assert ds.count() == 1  # only the accepted POST was spooled
