@@ -257,6 +257,70 @@ def probe_neardup(n_docs: int) -> dict:
     }
 
 
+def probe_linededup(n_docs: int) -> dict:
+    """Cross-document line dedup at scale: multi-line docs (6 lines × 10
+    tokens) with boilerplate planted — a shared FOOTER line on every 3rd
+    doc and a shared BANNER line on every 7th — so the expected removal
+    count is exact: ceil(n/3) + ceil(n/7) lines (random 10-token lines
+    never collide). Exercises the line-df hash-bucket exchange and the
+    broadcast common-line set + vectorized rewrite at probe scale."""
+    from node_shovel_ray.pipelines.corpus import line_dedup_docs
+
+    out_dir = os.path.join(PROBE_DIR, f"linedocs_{n_docs}")
+    docs_path = os.path.join(out_dir, "documents.parquet")
+    done = os.path.join(out_dir, ".done")
+    vocab = np.array(["tok%04d" % i for i in range(4096)])
+    n_files = 64
+    if not os.path.exists(done):
+        os.makedirs(docs_path, exist_ok=True)
+        per = (n_docs + n_files - 1) // n_files
+        for f in range(n_files):
+            lo, hi = f * per, min((f + 1) * per, n_docs)
+            if lo >= hi:
+                break
+            rng = np.random.default_rng([13, f])
+            ids = np.arange(lo, hi, dtype=np.int64)
+            toks = rng.choice(vocab, size=(len(ids), 60))
+            texts = [
+                "\n".join(" ".join(row[j:j + 10]) for j in range(0, 60, 10))
+                for row in toks
+            ]
+            texts = np.array(texts, dtype=object)
+            foot = ids % 3 == 0
+            texts[foot] = [t + "\nSHARED FOOTER LINE" for t in texts[foot]]
+            ban = ids % 7 == 0
+            texts[ban] = ["SHARED BANNER LINE\n" + t for t in texts[ban]]
+            t = pa.table(
+                {
+                    "doc_id": pa.array(ids),
+                    "text": pa.array(list(texts), pa.string()),
+                }
+            )
+            pq.write_table(t, os.path.join(docs_path, f"part-{f:05d}.parquet"))
+        open(done, "w").write("ok\n")
+    expected = (n_docs + 2) // 3 + (n_docs + 6) // 7
+    t0 = time.time()
+    with StoreSampler() as samp:
+        # materialize ONCE: the aggregate + count branches would otherwise
+        # each re-run the whole rewrite pass (CLAUDE.md union/branch rule)
+        out = line_dedup_docs(out_dir).materialize()
+        from ray.data.aggregate import Sum
+
+        agg = out.aggregate(Sum("n_removed", alias_name="removed"))
+        rows = out.count()
+    sec = time.time() - t0
+    return {
+        "rows_in": n_docs, "rows_out": int(rows),
+        "lines_removed": int(agg["removed"]),
+        "lines_removed_expected": expected,
+        "sec": round(sec, 1),
+        "rows_per_s": int(n_docs / sec),
+        "peak_object_store_gb": round(samp.peak_used / 2**30, 2),
+        "store_total_gb": round(samp.total / 2**30, 2),
+        "spilled_mb": spilled_mb(),
+    }
+
+
 def probe_semdedup(n_vecs: int, d: int = 64) -> dict:
     """SemDeDup semantic dedup at scale: synthetic gaussian embeddings
     with a near-duplicate planted every 25th vector (a 1e-3 perturbation
@@ -327,6 +391,7 @@ PROBES = {
     "crossdoc": lambda nc, nd: probe_crossdoc(nd),
     "neardup": lambda nc, nd: probe_neardup(nd),
     "semdedup": lambda nc, nd: probe_semdedup(nd),
+    "linededup": lambda nc, nd: probe_linededup(nd),
 }
 
 
